@@ -145,16 +145,20 @@ def cross_mat(vec: jnp.ndarray) -> jnp.ndarray:
 def exp_so3(rad: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: axis-angle vector -> rotation matrix (bundle_adj.py:96-101).
 
-    Safe at the origin (returns identity) and differentiable everywhere via
-    the standard sinc-style guards.
+    Uses the sinc form ``I + a K + b K^2`` with the *unnormalized* cross
+    matrix K and Taylor guards near zero, so it is exact at the origin AND
+    differentiable there (the bundle adjuster linearizes at the identity-
+    rotation seed camera; a normalize-then-select form propagates NaNs
+    through ``jacfwd``).
     """
-    ang = jnp.linalg.norm(rad, axis=-1, keepdims=True)
-    safe = jnp.where(ang > 0, ang, 1.0)
-    axis = jnp.where(ang > 0, rad / safe, rad)
-    cross = cross_mat(axis)
-    ang = ang[..., None]
+    t2 = jnp.sum(rad * rad, axis=-1)[..., None, None]
+    small = t2 < 1e-12
+    t = jnp.sqrt(jnp.where(small, 1.0, t2))
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2)
+    cross = cross_mat(rad)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rad.dtype), cross.shape)
-    return eye + cross * jnp.sin(ang) + (1.0 - jnp.cos(ang)) * mm(cross, cross)
+    return eye + a * cross + b * mm(cross, cross)
 
 
 def log_so3(rot: jnp.ndarray) -> jnp.ndarray:

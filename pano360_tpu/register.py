@@ -1,0 +1,342 @@
+"""Panorama registration: traverse + incremental LM bundle adjustment.
+
+TPU-native re-design of the reference's ``bundle_adj.py:288-395``:
+
+- the *graph* logic (best-first heap walk over the match graph, camera
+  seeding, edge gating) stays on the host — it is tiny, data-dependent
+  control flow (SURVEY.md §7 hard part #6);
+- the *numerics* (residuals, Jacobians, J^T J / J^T r accumulation) run as
+  one jitted, vmapped device program per LM iteration. Jacobian blocks come
+  from forward-mode AD of the per-point residual (replacing the reference's
+  ~100-line hand-derived ``_jacobian_symbolic``, bundle_adj.py:186-258),
+  which is exact, and batched over all match points at once;
+- problem sizes are padded to power-of-two buckets (cameras, edges, matches
+  per edge) so incremental BA triggers only O(log N) recompiles
+  (SURVEY.md §7 hard part #5). Inactive padding cameras are held fixed by
+  the LM damping term.
+
+The LM schedule matches the reference exactly: fixed lambda=5, at most 100
+iterations, accept a step only if the RMSE improves by 1e-3, stop after 5
+consecutive non-improvements (bundle_adj.py:311-345); edges whose initial
+RMSE exceeds 150 are rejected as mismatches (bundle_adj.py:15,304).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import heapq
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pano360_tpu import geometry as geo
+
+# bundle adjustment parameters (bundle_adj.py:8-15)
+PARAMS_PER_CAMERA = 6
+LM_LAMBDA = 5.0
+LM_MAX_ITER = 100
+LM_MIN_IMPROVE = 1e-3
+LM_MAX_STALLS = 5
+MIN_MATCH_ERROR = 150.0
+
+LOG = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PanoImage:
+    """Host-side registered image (mirrors the reference's ``Image``
+    dataclass, bundle_adj.py:18-33, for cache-structure parity)."""
+
+    img: Optional[np.ndarray]
+    rot: np.ndarray
+    intr: np.ndarray
+    range: tuple = (np.zeros(2), np.zeros(2))
+
+    def hom(self) -> np.ndarray:
+        """Pixel -> world-ray homography R^T K^-1."""
+        return self.rot.T.dot(np.linalg.inv(self.intr))
+
+    def proj(self) -> np.ndarray:
+        """World-ray -> pixel projection K R."""
+        return self.intr.dot(self.rot)
+
+
+def _np_params_from_camera(cam: PanoImage) -> np.ndarray:
+    intr = cam.intr
+    lead = np.array([intr[0, 0], intr[0, 2], intr[1, 2]])
+    return np.concatenate(
+        [lead, np.asarray(geo.log_so3(jnp.asarray(cam.rot)))])
+
+
+def _np_camera_from_params(p: np.ndarray) -> PanoImage:
+    rot = np.asarray(geo.exp_so3(jnp.asarray(p[3:6])))
+    intr = np.array([[p[0], 0, p[1]], [0, p[0], p[2]], [0, 0, 1.0]])
+    return PanoImage(None, rot, intr)
+
+
+def _edge_rmse(cam1: PanoImage, cam2: PanoImage, match: np.ndarray) -> float:
+    """Initial RMSE of an edge (host, f64) for the mismatch gate."""
+    hom = cam1.intr @ cam1.rot @ cam2.rot.T @ np.linalg.inv(cam2.intr)
+    tr = match[:, 3:6] @ hom.T
+    res = match[:, :2] - tr[:, :2] / tr[:, 2:3]
+    return float(np.sqrt(np.mean(np.square(res))))
+
+
+# ---------------------------------------------------------------------------
+# Device LM kernel
+# ---------------------------------------------------------------------------
+
+def _point_residual(pa: jnp.ndarray, pb: jnp.ndarray, pt: jnp.ndarray):
+    """Residual of one match point w.r.t. the two cameras' 6-params.
+
+    ``pa``: params of the camera whose pixels are pt[:3] (edge cam1);
+    ``pb``: params of the camera whose pixels are pt[3:6] (edge cam2).
+    Matches ``get_diff`` (bundle_adj.py:145-149).
+    """
+    ca = geo.params_to_camera(pa)
+    cb = geo.params_to_camera(pb)
+    hom = geo.hom_to_from(ca, cb)
+    tr = hom @ pt[3:6]
+    # guarded divide: padded match rows would otherwise produce 0/0 NaNs
+    # that survive multiplication by the mask
+    z = jnp.where(jnp.abs(tr[2]) > 1e-12, tr[2], 1.0)
+    return pt[:2] - tr[:2] / z
+
+
+_point_jac = jax.jacfwd(_point_residual, argnums=(0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _lm_stats(params, cam1_idx, cam2_idx, pts, mask):
+    """One LM linearization: loss stats + normal equations.
+
+    params: (C, 6); cam1_idx/cam2_idx: (E,) int32; pts: (E, M, 6);
+    mask: (E, M) float. Returns (sq_sum, n_terms, jtj (6C, 6C), jtr (6C,)).
+    """
+    c = params.shape[0]
+    pa = params[cam1_idx]                       # (E, 6)
+    pb = params[cam2_idx]
+
+    res = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
+                   in_axes=(0, 0, 0))(pa, pb, pts)          # (E, M, 2)
+    ja, jb = jax.vmap(jax.vmap(_point_jac, in_axes=(None, None, 0)),
+                      in_axes=(0, 0, 0))(pa, pb, pts)       # (E, M, 2, 6)
+
+    res = res * mask[..., None]
+    ja = ja * mask[..., None, None]
+    jb = jb * mask[..., None, None]
+
+    sq_sum = jnp.sum(res * res)
+    n_terms = 2.0 * jnp.sum(mask)
+
+    prec = jax.lax.Precision.HIGHEST
+    jaa = jnp.einsum("emri,emrj->eij", ja, ja, precision=prec)  # (E, 6, 6)
+    jbb = jnp.einsum("emri,emrj->eij", jb, jb, precision=prec)
+    jab = jnp.einsum("emri,emrj->eij", ja, jb, precision=prec)
+    ra = jnp.einsum("emri,emr->ei", ja, res, precision=prec)    # (E, 6)
+    rb = jnp.einsum("emri,emr->ei", jb, res, precision=prec)
+
+    jtj = jnp.zeros((c, c, 6, 6), params.dtype)
+    jtj = jtj.at[cam1_idx, cam1_idx].add(jaa)
+    jtj = jtj.at[cam2_idx, cam2_idx].add(jbb)
+    jtj = jtj.at[cam1_idx, cam2_idx].add(jab)
+    jtj = jtj.at[cam2_idx, cam1_idx].add(jnp.swapaxes(jab, -1, -2))
+    jtj = jnp.transpose(jtj, (0, 2, 1, 3)).reshape(6 * c, 6 * c)
+
+    jtr = jnp.zeros((c, 6), params.dtype)
+    jtr = jtr.at[cam1_idx].add(ra)
+    jtr = jtr.at[cam2_idx].add(rb)
+    return sq_sum, n_terms, jtj, jtr.reshape(-1)
+
+
+@jax.jit
+def _loss_stats(params, cam1_idx, cam2_idx, pts, mask):
+    pa = params[cam1_idx]
+    pb = params[cam2_idx]
+    res = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
+                   in_axes=(0, 0, 0))(pa, pb, pts)
+    res = res * mask[..., None]
+    return jnp.sum(res * res), 2.0 * jnp.sum(mask)
+
+
+def _next_pow2(x: int, lo: int) -> int:
+    n = lo
+    while n < x:
+        n *= 2
+    return n
+
+
+class BundleAdjuster:
+    """Incremental bundle adjustment (IncrementalBundleAdjuster parity)."""
+
+    def __init__(self, n_cameras: int, mode: str = "incr",
+                 dtype=np.float32):
+        self.cameras: List[Optional[PanoImage]] = [None] * n_cameras
+        self.matches: List[Tuple[int, int, np.ndarray]] = []
+        self.mode = mode
+        self.dtype = dtype
+
+    def add(self, idx: int, camera: PanoImage, matches: Dict) -> None:
+        """Add a camera and its valid edges (bundle_adj.py:297-309)."""
+        self.cameras[idx] = camera
+        for new, cam in enumerate(self.cameras):
+            if cam is None or new not in matches[idx]:
+                continue
+            match = matches[idx][new][0]
+            if _edge_rmse(camera, cam, match) > MIN_MATCH_ERROR:
+                continue
+            self.matches.append((new, idx, match))
+
+        if self.mode == "incr":
+            self.optimize()
+
+    # -- padded problem assembly --------------------------------------
+
+    def _assemble(self):
+        idx = [i for i, c in enumerate(self.cameras) if c is not None]
+        pos = {c: k for k, c in enumerate(idx)}
+        cp = _next_pow2(len(idx), 4)
+        ep = _next_pow2(max(len(self.matches), 1), 4)
+        mp = _next_pow2(max((len(m) for _, _, m in self.matches),
+                            default=1), 64)
+
+        params = np.zeros((cp, 6), self.dtype)
+        params[:, 0] = 1.0  # benign focal for padding cameras
+        for k, i in enumerate(idx):
+            params[k] = _np_params_from_camera(self.cameras[i])
+
+        cam1 = np.zeros(ep, np.int32)
+        cam2 = np.zeros(ep, np.int32)
+        pts = np.zeros((ep, mp, 6), self.dtype)
+        pts[..., 2] = 1.0   # benign homogeneous padding (no 0/0 under AD)
+        pts[..., 5] = 1.0
+        mask = np.zeros((ep, mp), self.dtype)
+        for e, (i_new, j_idx, m) in enumerate(self.matches):
+            cam1[e] = pos[j_idx]   # get_diff(cameras[j], cameras[i], m)
+            cam2[e] = pos[i_new]
+            pts[e, : len(m)] = m
+            mask[e, : len(m)] = 1.0
+        return idx, params, cam1, cam2, pts, mask
+
+    # -- optimization --------------------------------------------------
+
+    def optimize(self) -> None:
+        if not self.matches:
+            return
+        idx, params, cam1, cam2, pts, mask = self._assemble()
+        n_active = len(idx)
+
+        dev = (jnp.asarray(params), jnp.asarray(cam1), jnp.asarray(cam2),
+               jnp.asarray(pts), jnp.asarray(mask))
+        sq, n = _loss_stats(*dev)
+        best_err = float(np.sqrt(float(sq) / float(n)))
+        LOG.debug("Optimizing %d cameras", n_active)
+        LOG.debug("Initial error: %s", best_err)
+
+        cur = params.astype(np.float64)
+        best = cur.copy()
+        n_not_improved = 0
+        for it in range(LM_MAX_ITER):
+            sq, n, jtj, jtr = _lm_stats(jnp.asarray(cur.astype(self.dtype)),
+                                        *dev[1:])
+            jtj = np.asarray(jtj, np.float64)
+            jtr = np.asarray(jtr, np.float64)
+            jtj[np.diag_indices_from(jtj)] += LM_LAMBDA
+            try:
+                delta = np.linalg.solve(jtj, jtr)
+            except np.linalg.LinAlgError:
+                break
+            trial = cur - delta.reshape(cur.shape)
+
+            sq, n = _loss_stats(jnp.asarray(trial.astype(self.dtype)),
+                                *dev[1:])
+            err = float(np.sqrt(float(sq) / float(n)))
+            if err < best_err - LM_MIN_IMPROVE:
+                best_err = err
+                best = trial.copy()
+                cur = trial
+            else:
+                cur = trial  # reference keeps iterating from the new point
+                n_not_improved += 1
+                if n_not_improved > LM_MAX_STALLS:
+                    break
+            LOG.debug("It #%d error: %s", it, err)
+        LOG.debug("Final error: %s", best_err)
+
+        for k, i in enumerate(idx):
+            cam = _np_camera_from_params(best[k])
+            cam.img = self.cameras[i].img
+            self.cameras[i] = cam
+
+
+# ---------------------------------------------------------------------------
+# Traverse (panorama discovery)
+# ---------------------------------------------------------------------------
+
+def _np_to_rotation(mat: np.ndarray) -> np.ndarray:
+    """Closest rotation (host f64), matching bundle_adj.py:118-124."""
+    uu, _, vt = np.linalg.svd(mat)
+    rot = uu @ vt
+    if np.linalg.det(rot) < 0:
+        rot = -rot
+    return rot
+
+
+def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
+             use_straighten: bool = True) -> List[PanoImage]:
+    """Best-first expansion over the match graph (bundle_adj.py:348-395).
+
+    ``matches[i][j] = (kpt_pairs (M, 6), hom, n_inliers)`` in the
+    reference's rehydrated format.
+    """
+    pair_list = [(i, matches[i][j][1], matches[i][j][2])
+                 for i in matches.keys() for j in matches[i].keys()]
+    if not pair_list:
+        return []
+    ids, homs, scores = zip(*pair_list)
+    src = ids[int(np.argmax(scores))]
+
+    focals = np.asarray(geo.focal_from_hom(jnp.asarray(np.stack(homs))))
+    intr = np.diag([np.median(focals)] * 2 + [1.0])
+
+    iba = BundleAdjuster(len(imgs), mode=badjust)
+    iba.cameras[src] = PanoImage(None, np.eye(3), intr)
+
+    qq = [(-matches[src][j][2], src, j) for j in matches[src].keys()]
+    heapq.heapify(qq)
+
+    while qq:
+        _, src_i, dst = heapq.heappop(qq)
+        if iba.cameras[dst] is not None:
+            continue
+        hom = matches[src_i][dst][1]
+        rot = _np_to_rotation(np.linalg.inv(intr) @ hom @ intr)
+        rot = rot @ iba.cameras[src_i].rot
+        iba.add(dst, PanoImage(None, rot, intr), matches)
+        for new in matches[dst].keys():
+            heapq.heappush(qq, (-matches[dst][new][2], dst, new))
+
+    if badjust == "last":
+        iba.optimize()
+
+    cameras = iba.cameras
+    for i, img in enumerate(imgs):
+        if cameras[i] is not None:
+            cameras[i].img = img
+    cameras = [c for c in cameras if c is not None]
+
+    if use_straighten and cameras:
+        rots = np.stack([c.rot for c in cameras])
+        new_rots = np.asarray(geo.straighten(jnp.asarray(rots)))
+        for cam, rot in zip(cameras, new_rots):
+            cam.rot = rot
+    return cameras
+
+
+__all__ = [
+    "PanoImage", "BundleAdjuster", "traverse",
+    "LM_LAMBDA", "LM_MAX_ITER", "MIN_MATCH_ERROR",
+]

@@ -1,0 +1,134 @@
+"""SIFT extraction tests.
+
+Keypoint parity with cv2 is defined *downstream* (SURVEY.md §7 hard part #1):
+match-graph inlier counts, recovered focal and relative rotation — not raw
+keypoint sets. Images are kept small to bound XLA compile time on CPU.
+"""
+import cv2
+import numpy as np
+import numpy.testing as npt
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pano360_tpu import synth
+from pano360_tpu import match as pm
+from pano360_tpu.features import sift as S
+from pano360_tpu.geometry import focal_from_hom
+
+CFG = S.SiftConfig(max_kpts=1024)
+SHAPE = (180, 240)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    imgs, rots, focal = synth.make_views(n_views=2, shape=SHAPE,
+                                         overlap=0.5, seed=1)
+    u8s = [(np.asarray(im) * 255).astype(np.uint8) for im in imgs]
+    grays = np.stack([
+        cv2.cvtColor(u, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255
+        for u in u8s])
+    return imgs, u8s, grays, rots, focal
+
+
+@pytest.fixture(scope="module")
+def feats(pair):
+    _, _, grays, _, _ = pair
+    return S.sift_extract(jnp.asarray(grays), CFG)
+
+
+class TestExtract:
+    def test_finds_keypoints(self, feats):
+        v = np.asarray(feats.valid)
+        assert v.sum(axis=1).min() > 150
+
+    def test_coords_in_bounds(self, feats):
+        v = np.asarray(feats.valid)
+        xy = np.asarray(feats.xy)[v]
+        h, w = SHAPE
+        assert (xy[:, 0] >= 0).all() and (xy[:, 0] <= w - 1).all()
+        assert (xy[:, 1] >= 0).all() and (xy[:, 1] <= h - 1).all()
+
+    def test_descriptors_unit_norm(self, feats):
+        v = np.asarray(feats.valid)
+        d = np.asarray(feats.desc)[v]
+        npt.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
+        assert (d >= 0).all()
+
+    def test_rootsift_unit_l2(self, feats):
+        v = np.asarray(feats.valid)
+        r = np.asarray(S.root_sift(feats.desc))[v]
+        npt.assert_allclose(np.linalg.norm(r, axis=1), 1.0, atol=1e-3)
+
+    def test_batch_independence(self, pair, feats):
+        """Batched extraction must equal per-image extraction (regression:
+        a blur layout bug once convolved across the batch axis)."""
+        _, _, grays, _, _ = pair
+        solo = S.sift_extract(jnp.asarray(grays[1:]), CFG)
+        npt.assert_allclose(np.asarray(feats.xy)[1],
+                            np.asarray(solo.xy)[0], atol=1e-4)
+        npt.assert_array_equal(np.asarray(feats.valid)[1],
+                               np.asarray(solo.valid)[0])
+
+    def test_keypoint_count_near_cv2(self, pair, feats):
+        _, u8s, _, _, _ = pair
+        cv_n = len(cv2.SIFT_create().detect(u8s[0], None))
+        ours = int(np.asarray(feats.valid)[0].sum())
+        assert ours > 0.6 * cv_n, f"ours {ours} vs cv2 {cv_n}"
+
+
+class TestDownstreamParity:
+    def _match(self, xy, desc, valid, shape):
+        cent = jnp.asarray([shape[1] / 2, shape[0] / 2], jnp.float32)
+        return pm.match_pair(xy[0] - cent, desc[0], valid[0],
+                             xy[1] - cent, desc[1], valid[1],
+                             jax.random.key(0))
+
+    def test_registration_quality(self, pair, feats):
+        """Our SIFT end-to-end: focal within 3%, rotation within 0.3 deg."""
+        _, _, _, rots, focal = pair
+        desc = S.root_sift(feats.desc)
+        res = self._match(feats.xy, desc, feats.valid, SHAPE)
+        assert bool(res.ok) and int(res.n_inliers) > 80
+
+        est_f = float(focal_from_hom(res.hom))
+        assert abs(est_f - focal) / focal < 0.03
+
+        k = np.diag([focal, focal, 1.0])
+        h = np.asarray(res.hom)
+        r = np.linalg.inv(k) @ (h / h[2, 2]) @ k
+        u, _, vt = np.linalg.svd(r)
+        r = u @ vt
+        dr = r @ (rots[1] @ rots[0].T).T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+        assert ang < 0.3, f"rotation error {ang} deg"
+
+    def test_inliers_comparable_to_cv2_descriptors(self, pair, feats):
+        """Inlier count with our SIFT >= 70% of cv2's SIFT descriptors fed
+        through the same matcher."""
+        _, u8s, _, _, _ = pair
+        desc = S.root_sift(feats.desc)
+        ours = self._match(feats.xy, desc, feats.valid, SHAPE)
+
+        sift = cv2.SIFT_create()
+        cap = CFG.max_kpts
+        cent = np.array([SHAPE[1] / 2, SHAPE[0] / 2], np.float32)
+        buf = dict(xy=[], desc=[], valid=[])
+        for u in u8s:
+            kp, des = sift.detectAndCompute(u, None)
+            des = np.sqrt(des / (des.sum(1, keepdims=True) + 1e-7))
+            pts = np.float32([p.pt for p in kp]) - cent
+            n = min(len(pts), cap)
+            xyp = np.zeros((cap, 2), np.float32)
+            dsp = np.zeros((cap, des.shape[1]), np.float32)
+            xyp[:n], dsp[:n] = pts[:n], des[:n]
+            buf["xy"].append(xyp)
+            buf["desc"].append(dsp)
+            buf["valid"].append(np.arange(cap) < n)
+        cvres = pm.match_pair(
+            jnp.asarray(buf["xy"][0]), jnp.asarray(buf["desc"][0]),
+            jnp.asarray(buf["valid"][0]),
+            jnp.asarray(buf["xy"][1]), jnp.asarray(buf["desc"][1]),
+            jnp.asarray(buf["valid"][1]), jax.random.key(0))
+        assert int(ours.n_inliers) >= 0.7 * int(cvres.n_inliers), (
+            f"ours {int(ours.n_inliers)} vs cv2-desc {int(cvres.n_inliers)}")
