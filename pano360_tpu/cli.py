@@ -1,0 +1,119 @@
+"""Command-line stitcher, flag- and cache-compatible with the reference.
+
+Mirrors ``stitcher.py:390-451``: same flags and defaults
+(``-s/--shrink=2``, ``--ba {none,incr,last}=incr``, ``-e/--equalize``,
+``-c/--crop``, ``-b/--blend {none,linear,multiband}=multiband``,
+``-o/--out``), same cache files (``matches_{name}_s{shrink}.npz`` with
+``kpts``/``matches`` object arrays; ``ba_{name}_s{shrink}.pkl`` with the
+pickled region list), same stage timing logs. Adds ``--detector`` for the
+MSOP path and ``--seed`` for deterministic RANSAC.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pickle
+import time
+
+import numpy as np
+
+from pano360_tpu import render
+from pano360_tpu.imageio import imread, imwrite, list_images
+from pano360_tpu.pipeline import idx_to_keypoints, matching
+from pano360_tpu.register import traverse
+
+LOG = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Stitch images.")
+    parser.add_argument('path', type=str,
+                        help="directory with the images to process.")
+    parser.add_argument("-s", "--shrink", type=float, default=2,
+                        help="downsample the images by this amount.")
+    parser.add_argument("--ba", default="incr",
+                        choices=["none", "incr", "last"],
+                        help="bundle adjustment type.")
+    parser.add_argument("--equalize", "-e", action="store_true",
+                        help="equalize image gain before stitching.")
+    parser.add_argument("--crop", "-c", action="store_true",
+                        help="remove the black borders.")
+    parser.add_argument("--blend", "-b", default="multiband",
+                        choices=list(render.BLENDERS.keys()),
+                        help="blending algorithm.")
+    parser.add_argument("-o", "--out", type=str,
+                        help="save result to this file")
+    parser.add_argument("--detector", default="sift",
+                        choices=["sift", "msop"],
+                        help="feature detector.")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed for RANSAC hypothesis sampling.")
+    parser.add_argument("--cache-dir", default=".",
+                        help="directory for the match/BA cache files.")
+    return parser
+
+
+def load_images(path: str, shrink: float):
+    files = list_images(path)
+    imgs = [imread(f) for f in files]
+    if shrink > 1:
+        import jax.numpy as jnp
+        from pano360_tpu.ops.resize import resize_bilinear
+        out = []
+        for im in imgs:
+            h, w = im.shape[:2]
+            nh, nw = round(h / shrink), round(w / shrink)
+            small = np.asarray(resize_bilinear(
+                jnp.asarray(im.astype(np.float32)), (nh, nw)))
+            out.append(np.clip(small, 0, 255).astype(np.uint8))
+        imgs = out
+    return imgs
+
+
+def run(args) -> np.ndarray:
+    name = (f"{os.path.basename(os.path.normpath(args.path))}"
+            f"_s{args.shrink}")
+    imgs = load_images(args.path, args.shrink)
+
+    match_cache = os.path.join(args.cache_dir, f"matches_{name}.npz")
+    try:
+        arr = np.load(match_cache, allow_pickle=True)
+        kpts, matches = arr["kpts"], arr["matches"]
+    except IOError:
+        kpts, matches = matching(imgs, detector=args.detector,
+                                 seed=args.seed)
+        np.savez(match_cache, kpts=kpts, matches=matches)
+
+    ba_cache = os.path.join(args.cache_dir, f"ba_{name}.pkl")
+    try:
+        with open(ba_cache, "rb") as fid:
+            regions = pickle.load(fid)
+    except IOError:
+        start = time.time()
+        regions = traverse(imgs, idx_to_keypoints(matches, kpts),
+                           badjust=args.ba)
+        LOG.info("Image registration, time: %s", time.time() - start)
+        with open(ba_cache, "wb") as fid:
+            pickle.dump(regions, fid, protocol=pickle.HIGHEST_PROTOCOL)
+
+    start = time.time()
+    mosaic = render.stitch(regions, blender=args.blend,
+                           equalize=args.equalize, crop=args.crop)
+    LOG.info("Built mosaic, time: %s", time.time() - start)
+    return mosaic
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    mosaic = run(args)
+    if args.out:
+        imwrite(args.out, mosaic)
+        print(f"saved {args.out} ({mosaic.shape[1]}x{mosaic.shape[0]})")
+    return mosaic
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.DEBUG)
+    logging.getLogger("jax").setLevel(logging.WARNING)  # silence jax debug
+    main()

@@ -1,0 +1,144 @@
+"""Pipeline orchestration: detection + all-pairs match graph.
+
+Host-side equivalent of the reference's ``features.matching``
+(features.py:255-283) and ``stitcher.idx_to_keypoints``
+(stitcher.py:372-387), producing bit-structure-compatible results:
+
+- ``kpts``: object array of per-image float32 (N_i, 2) *center-relative*
+  keypoint coordinates;
+- ``matches[src][dst] = (match_idx (M, 2) int32, hom)`` for all connected
+  ordered pairs, with the reverse edge = (fliplr, inv(hom));
+- ``idx_to_keypoints`` rehydrates to homogeneous coords + confidence.
+
+Device work (SIFT, descriptor matmul, RANSAC) is batched; the O(N^2) pair
+loop itself is host-side but each iteration is a single fused device call.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pano360_tpu import match as pm
+from pano360_tpu.features import sift as S
+from pano360_tpu.features.msop import msop_extract_host
+from pano360_tpu.ops.color import bgr2gray
+
+LOG = logging.getLogger(__name__)
+
+
+def _compact_features(feats: S.SiftFeatures, shapes):
+    """Padded device buffers -> per-image compact numpy (kpts, desc)."""
+    kpts, descs = [], []
+    xy = np.asarray(feats.xy)
+    desc = np.asarray(S.root_sift(feats.desc))
+    valid = np.asarray(feats.valid)
+    for i, (h, w) in enumerate(shapes):
+        v = valid[i]
+        cent = np.array([w / 2, h / 2], np.float32)
+        kpts.append((xy[i][v] - cent).astype(np.float32))
+        descs.append(desc[i][v].astype(np.float32))
+    return kpts, descs
+
+
+def detect_all(imgs: List[np.ndarray], detector: str = "sift",
+               max_kpts: int = 4096):
+    """Extract keypoints/descriptors for all images (batched on device).
+
+    Returns per-image lists of center-relative float32 keypoints and
+    descriptors (compact, like the reference's detector closures).
+    """
+    if not imgs:
+        raise ValueError("no images to process (empty directory?)")
+    shapes = [im.shape[:2] for im in imgs]
+    if detector == "msop":
+        kpts, descs = [], []
+        for im in imgs:
+            k, d = msop_extract_host(im)
+            cent = np.array([im.shape[1] / 2, im.shape[0] / 2], np.float32)
+            kpts.append((k - cent).astype(np.float32))
+            descs.append(d.astype(np.float32))
+        return kpts, descs
+    if len(set(shapes)) != 1:
+        raise ValueError("all images must share one shape for batching")
+    gray = np.stack([
+        np.asarray(bgr2gray(jnp.asarray(im.astype(np.float32) / 255.0)))
+        for im in imgs])
+    cfg = S.SiftConfig(max_kpts=max_kpts)
+    feats = S.sift_extract(jnp.asarray(gray), cfg)
+    return _compact_features(feats, shapes)
+
+
+def _pad(arr: np.ndarray, cap: int) -> np.ndarray:
+    out = np.zeros((cap,) + arr.shape[1:], arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def matching(imgs: List[np.ndarray], detector: str = "sift",
+             max_kpts: int = 4096, seed: int = 0):
+    """All-pairs feature matching (features.py:255-283 equivalent).
+
+    Returns ``(kpts, matches)`` as numpy object arrays with the reference's
+    exact structure (NPZ-cache compatible).
+    """
+    start = time.time()
+    kpts, descs = detect_all(imgs, detector, max_kpts)
+    LOG.info("Extracted keypoints, time: %s", time.time() - start)
+
+    n = len(imgs)
+    cap = max((len(k) for k in kpts), default=1)
+    cap = max(1 << (cap - 1).bit_length(), 64)
+    dim = descs[0].shape[1] if len(descs[0]) else 128
+
+    dev = []
+    for k, d in zip(kpts, descs):
+        dev.append((jnp.asarray(_pad(k, cap)),
+                    jnp.asarray(_pad(d, cap)),
+                    jnp.asarray(np.arange(cap) < len(k))))
+
+    matches: Dict[int, Dict[int, tuple]] = {i: {} for i in range(n)}
+    start = time.time()
+    key = jax.random.key(seed)
+    for src in range(n):
+        for dst in range(src + 1, n):
+            LOG.debug("Matching %d-%d", src + 1, dst + 1)
+            key, sub = jax.random.split(key)
+            res = pm.match_pair(dev[src][0], dev[src][1], dev[src][2],
+                                dev[dst][0], dev[dst][1], dev[dst][2], sub)
+            if not bool(res.ok):
+                continue
+            inl = np.asarray(res.inlier)
+            idx = np.asarray(res.idx)[inl].astype(np.int32)
+            hom = np.asarray(res.hom, np.float64)
+            matches[src][dst] = (idx, hom)
+            matches[dst][src] = (np.fliplr(idx), np.linalg.inv(hom))
+    LOG.info("Matched features, time: %s", time.time() - start)
+
+    matches = {i: col for i, col in matches.items() if col}
+    kpts_arr = np.empty(n, dtype=object)
+    for i, k in enumerate(kpts):
+        kpts_arr[i] = k
+    matches_arr = np.array(matches, dtype=object)
+    return kpts_arr, matches_arr
+
+
+def idx_to_keypoints(matches, kpts):
+    """Keypoint indices -> homogeneous coords + confidence
+    (stitcher.py:372-387 equivalent, same output structure)."""
+    def _i_to_k(match, kpt1, kpt2):
+        return np.concatenate([kpt1[match[:, 0]], kpt2[match[:, 1]]], axis=1)
+
+    kpts = [np.concatenate([kp, np.ones((kp.shape[0], 1))], axis=1)
+            for kp in kpts]
+    matches = matches.item() if isinstance(matches, np.ndarray) else matches
+    return {i: {j: (_i_to_k(m, kpts[i], kpts[j]), h, len(m))
+                for j, (m, h) in col.items()}
+            for i, col in matches.items()}
+
+
+__all__ = ["detect_all", "matching", "idx_to_keypoints"]

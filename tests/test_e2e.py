@@ -1,0 +1,88 @@
+"""End-to-end pipeline integration tests through the CLI surface."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from pano360_tpu import synth
+from pano360_tpu.cli import build_parser, run
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    ds = root / "views"
+    imgs, rots, focal = synth.make_views(n_views=4, shape=(180, 240),
+                                         overlap=0.5, seed=13)
+    synth.write_dataset(str(ds), imgs)
+    return str(ds), str(root), rots, focal
+
+
+class TestEndToEnd:
+    def test_full_pipeline(self, dataset):
+        ds, root, rots, focal = dataset
+        args = build_parser().parse_args(
+            [ds, "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", root])
+        mosaic = run(args)
+
+        assert mosaic.dtype == np.uint8 and mosaic.ndim == 3
+        h, w = mosaic.shape[:2]
+        assert w > 1.8 * 240 and h >= 170      # covers multiple views
+        # interior should be filled
+        inner = mosaic[h // 4: -h // 4, w // 4: -w // 4]
+        assert (inner.sum(-1) > 0).mean() > 0.98
+
+        # registration quality from the BA cache: all views placed,
+        # focal within 3%, relative rotations within 0.5 deg (straighten
+        # preserves relative rotations)
+        with open(os.path.join(root, "ba_views_s1.0.pkl"), "rb") as fid:
+            regions = pickle.load(fid)
+        assert len(regions) == 4
+        est_f = regions[0].intr[0, 0]
+        assert abs(est_f - focal) / focal < 0.03
+        for i in range(3):
+            true_rel = rots[i + 1] @ rots[i].T
+            est_rel = regions[i + 1].rot @ regions[i].rot.T
+            dr = est_rel @ true_rel.T
+            ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2,
+                                               -1, 1)))
+            assert ang < 0.5, f"edge {i}: {ang} deg"
+
+    def test_cache_roundtrip_identical(self, dataset):
+        """Second run must consume the caches and reproduce the mosaic."""
+        ds, root, *_ = dataset
+        args = build_parser().parse_args(
+            [ds, "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", root])
+        m1 = run(args)
+        m2 = run(args)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_cache_structure_matches_reference(self, dataset):
+        """NPZ/PKL cache contents have the reference's exact structure."""
+        ds, root, *_ = dataset
+        arr = np.load(os.path.join(root, "matches_views_s1.0.npz"),
+                      allow_pickle=True)
+        kpts, matches = arr["kpts"], arr["matches"]
+        assert kpts.dtype == object and len(kpts) == 4
+        assert kpts[0].dtype == np.float32 and kpts[0].shape[1] == 2
+        md = matches.item()
+        some_src = next(iter(md))
+        some_dst = next(iter(md[some_src]))
+        m, hom = md[some_src][some_dst]
+        assert m.dtype == np.int32 and m.shape[1] == 2
+        assert hom.shape == (3, 3)
+        # reverse edge present and consistent
+        mr, homr = md[some_dst][some_src]
+        np.testing.assert_array_equal(mr, np.fliplr(m))
+        np.testing.assert_allclose(homr, np.linalg.inv(hom), rtol=1e-8)
+
+    def test_flag_defaults_match_reference(self):
+        """Same defaults as stitcher.py:392-409."""
+        args = build_parser().parse_args(["some/path"])
+        assert args.shrink == 2
+        assert args.ba == "incr"
+        assert args.blend == "multiband"
+        assert not args.equalize and not args.crop

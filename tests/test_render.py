@@ -1,0 +1,152 @@
+"""Render-layer tests: unit parity with the reference stitcher and
+end-to-end mosaic PSNR against the reference implementation."""
+import numpy as np
+import numpy.testing as npt
+import jax.numpy as jnp
+import pytest
+
+import refcompat  # noqa: F401
+import stitcher as ref_st
+import bundle_adj as ref_ba
+
+from pano360_tpu import render, synth
+from pano360_tpu.register import PanoImage
+from pano360_tpu import native
+
+RNG = np.random.default_rng(31)
+
+
+def make_regions(n_views=4, shape=(160, 200), seed=3, overlap=0.45):
+    imgs, rots, focal = synth.make_views(n_views=n_views, shape=shape,
+                                         overlap=overlap, seed=seed)
+    intr = np.diag([focal, focal, 1.0])
+    ours = [PanoImage((im * 255).astype(np.uint8), r.copy(), intr.copy())
+            for im, r in zip(imgs, rots)]
+    theirs = [ref_ba.Image((im * 255).astype(np.uint8), r.copy(),
+                           intr.copy())
+              for im, r in zip(imgs, rots)]
+    return ours, theirs
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else np.inf
+
+
+class TestUnits:
+    def test_range_border_matches_reference(self):
+        ours, theirs = make_regions()
+        homs = np.stack([r.hom() for r in ours])
+        rmin, rmax = render.proj_img_range_border((160, 200),
+                                                  jnp.asarray(homs))
+        for k, reg in enumerate(theirs):
+            ref_min, ref_max = ref_st._proj_img_range_border(
+                (160, 200), reg.hom())
+            npt.assert_allclose(np.asarray(rmin)[k], ref_min, atol=1e-4)
+            npt.assert_allclose(np.asarray(rmax)[k], ref_max, atol=1e-4)
+
+    def test_resolution_matches_reference(self):
+        ours, theirs = make_regions()
+        homs = np.stack([r.hom() for r in ours])
+        rmin, rmax = render.proj_img_range_border((160, 200),
+                                                  jnp.asarray(homs))
+        for k in range(len(ours)):
+            ours[k].range = (np.asarray(rmin[k], np.float64),
+                             np.asarray(rmax[k], np.float64))
+            theirs[k].range = ref_st._proj_img_range_border(
+                (160, 200), theirs[k].hom())
+            theirs[k].img = ref_st._add_weights(theirs[k].img)
+        res_ours, range_ours = render.estimate_resolution(ours)
+        res_ref, range_ref = ref_st.estimate_resolution(theirs)
+        npt.assert_allclose(res_ours, res_ref, rtol=1e-5)
+        npt.assert_allclose(range_ours[0], range_ref[0], atol=1e-4)
+
+    def test_hat_weights_match(self):
+        ours, _ = make_regions(n_views=1)
+        rgba_ref = ref_st._add_weights(ours[0].img)
+        rgba_ours = np.asarray(render.add_weights(
+            jnp.asarray(ours[0].img[None].astype(np.float32) / 255)))[0]
+        npt.assert_allclose(rgba_ours, rgba_ref, atol=1e-6)
+
+    def test_find_gains_matches_reference(self):
+        size = 6
+        overlaps = 100 + 10 * RNG.standard_normal((size, size))
+        sizes = RNG.random((size, size)) + 10
+        npt.assert_allclose(render.find_gains(overlaps, sizes),
+                            ref_st.find_gains(overlaps, sizes), rtol=1e-10)
+
+
+@pytest.mark.parametrize("blender,ref_blender", [
+    ("none", ref_st.no_blend),
+    ("linear", ref_st.linear_blend),
+    ("multiband", ref_st.multiband_blend),
+])
+class TestEndToEndParity:
+    def test_mosaic_psnr(self, blender, ref_blender):
+        """Full render vs the CPU reference on identical regions: >=35 dB.
+
+        (BASELINE.json asks >=40 dB on the full pipeline output; individual
+        blender comparisons run at small scale where seam-tie and rounding
+        differences weigh more heavily.)
+        """
+        ours, theirs = make_regions()
+        m_ours = render.stitch(ours, blender=blender)
+        m_ref = ref_st.stitch(theirs, blender=ref_blender)
+        assert m_ours.shape == m_ref.shape, (m_ours.shape, m_ref.shape)
+        p = psnr(m_ours, m_ref)
+        assert p >= 35.0, f"PSNR {p:.1f} dB"
+
+
+class TestEqualize:
+    def test_recovers_gains(self):
+        """Equalizing gain-perturbed views recovers the unperturbed mosaic
+        up to a global scale.
+
+        (The reference cannot serve as a golden here: its equalize_gains
+        warps into an *uninitialized* cv2 buffer with BORDER_TRANSPARENT
+        (stitcher.py:56-58), so its gain estimates depend on heap garbage.
+        Our implementation fills borders with zeros deterministically.)
+        """
+        ours, _ = make_regions()
+        clean = render.stitch([PanoImage(r.img.copy(), r.rot, r.intr)
+                               for r in ours], blender="linear")
+        gains = [0.8, 1.1, 0.95, 1.2]
+        for r, g in zip(ours, gains):
+            r.img = np.clip(r.img.astype(np.float32) * g, 0,
+                            255).astype(np.uint8)
+        m_eq = render.stitch(ours, blender="linear", equalize=True)
+        # remove the free global-scale factor, then compare
+        num = np.sum(m_eq.astype(np.float64) * clean.astype(np.float64))
+        den = np.sum(m_eq.astype(np.float64) ** 2)
+        p = psnr(np.clip(m_eq * (num / den), 0, 255), clean)
+        assert p >= 30.0, f"PSNR {p:.1f} dB"
+
+
+class TestCrop:
+    def test_native_matches_python(self):
+        for _ in range(5):
+            valid = RNG.random((40, 60)) > 0.3
+            a = native.largest_rectangle(valid)
+            b = native._largest_rectangle_py(valid)
+            # may find different rectangles of equal area
+            area = lambda t: (t[2] - t[0] + 1) * (t[3] - t[1] + 1)
+            assert area(a) == area(b)
+            t, l, bm, r = a
+            assert valid[t:bm + 1, l:r + 1].all()
+
+    def test_crop_parity_with_reference(self):
+        valid = np.zeros((50, 80), bool)
+        valid[5:45, 10:70] = True
+        valid[20:30, 15:25] = False  # hole
+        mosaic = RNG.integers(0, 255, (50, 80, 3)).astype(np.uint8)
+        ours = native.crop_mosaic(mosaic, valid)
+        theirs = ref_st.crop_mosaic(mosaic, valid)
+        assert ours.shape == theirs.shape
+        npt.assert_array_equal(ours, theirs)
+
+    def test_stitch_crop_removes_borders(self):
+        ours, _ = make_regions()
+        m = render.stitch(ours, blender="linear", crop=True)
+        # cropped mosaic should have no fully-black rows/columns at borders
+        assert (m.sum(axis=(1, 2)) > 0).all()
+        assert (m.sum(axis=(0, 2)) > 0).all()
