@@ -272,6 +272,37 @@ class BundleAdjuster:
             self.cameras[i] = cam
 
 
+def jacobian_numeric(params: np.ndarray, cam1_idx, cam2_idx, pts, mask,
+                     step: float = 1e-6):
+    """Finite-difference Jacobian check (bundle_adj.py:261-285 equivalent).
+
+    Debug utility: returns (J^T J, J^T r) via symmetric differences of the
+    device residuals, for validating the AD path on small problems.
+    """
+    params = np.asarray(params, np.float64)
+
+    def res_vec(p):
+        pa = p[np.asarray(cam1_idx)]
+        pb = p[np.asarray(cam2_idx)]
+        out = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
+                       in_axes=(0, 0, 0))(jnp.asarray(pa), jnp.asarray(pb),
+                                          jnp.asarray(pts))
+        return (np.asarray(out) * np.asarray(mask)[..., None]).ravel()
+
+    base = res_vec(params)
+    cols = []
+    for i in range(params.shape[0]):
+        for j in range(6):
+            dp = params.copy()
+            dp[i, j] += step
+            rp = res_vec(dp)
+            dp[i, j] -= 2 * step
+            rm = res_vec(dp)
+            cols.append((rp - rm) / (2 * step))
+    jac = np.stack(cols, axis=1)
+    return jac.T @ jac, jac.T @ base
+
+
 # ---------------------------------------------------------------------------
 # Traverse (panorama discovery)
 # ---------------------------------------------------------------------------
