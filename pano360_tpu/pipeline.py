@@ -84,40 +84,80 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
     """All-pairs feature matching (features.py:255-283 equivalent).
 
     Returns ``(kpts, matches)`` as numpy object arrays with the reference's
-    exact structure (NPZ-cache compatible).
+    exact structure (NPZ-cache compatible). The SIFT path is fully
+    device-resident: one upload of the uint8 image stack, batched gray
+    conversion + extraction + chunked pair matching without host round
+    trips (per-image host conversions cost seconds of dispatch latency on
+    high-latency links).
     """
-    start = time.time()
-    kpts, descs = detect_all(imgs, detector, max_kpts)
-    LOG.info("Extracted keypoints, time: %s", time.time() - start)
-
+    if not imgs:
+        raise ValueError("no images to process (empty directory?)")
     n = len(imgs)
-    cap = max((len(k) for k in kpts), default=1)
-    cap = max(1 << (cap - 1).bit_length(), 64)
-    dim = descs[0].shape[1] if len(descs[0]) else 128
+    start = time.time()
 
-    dev = []
-    for k, d in zip(kpts, descs):
-        dev.append((jnp.asarray(_pad(k, cap)),
-                    jnp.asarray(_pad(d, cap)),
-                    jnp.asarray(np.arange(cap) < len(k))))
+    if detector == "msop":
+        kpts, descs = detect_all(imgs, detector, max_kpts)
+        LOG.info("Extracted keypoints, time: %s", time.time() - start)
+        cap = max((len(k) for k in kpts), default=1)
+        cap = max(1 << (cap - 1).bit_length(), 64)
+        kp_buf = jnp.asarray(np.stack([_pad(k, cap) for k in kpts]))
+        ds_buf = jnp.asarray(np.stack([_pad(d, cap) for d in descs]))
+        va_buf = jnp.asarray(np.stack([np.arange(cap) < len(k)
+                                       for k in kpts]))
+        kpts_host = kpts
+        remap = None
+    else:
+        if len({im.shape for im in imgs}) != 1:
+            raise ValueError("all images must share one shape for batching")
+        h, w = imgs[0].shape[:2]
+        stack = jnp.asarray(np.stack(imgs))            # uint8, one upload
+        gray = bgr2gray(stack.astype(jnp.float32) / 255.0)
+        cfg = S.SiftConfig(max_kpts=max_kpts)
+        feats = S.sift_extract(gray, cfg)
+        cent = jnp.asarray([w / 2, h / 2], jnp.float32)
+        kp_buf = feats.xy - cent
+        ds_buf = S.root_sift(feats.desc)
+        va_buf = feats.valid
+        cap = max_kpts
+
+        # host copies for the cache (compacted) + index remap pad->compact
+        valid_np = np.asarray(va_buf)
+        kp_np = np.asarray(kp_buf)
+        kpts_host = [kp_np[i][valid_np[i]].astype(np.float32)
+                     for i in range(n)]
+        remap = np.cumsum(valid_np, axis=1) - 1        # (N, cap)
+        LOG.info("Extracted keypoints, time: %s", time.time() - start)
+
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    start = time.time()
+    keys = jax.random.split(jax.random.key(seed), max(len(pairs), 1))
+
+    # chunked batch matching: one dispatch per chunk instead of per pair
+    chunk = max(1, min(16, (1 << 28) // max(cap * cap * 4, 1)))
+    results = []
+    for c0 in range(0, len(pairs), chunk):
+        sub = pairs[c0:c0 + chunk]
+        pa = jnp.asarray([p[0] for p in sub], jnp.int32)
+        pb = jnp.asarray([p[1] for p in sub], jnp.int32)
+        res = pm.match_pairs_batch(kp_buf, ds_buf, va_buf, pa, pb,
+                                   keys[c0:c0 + len(sub)])
+        results.append(jax.tree_util.tree_map(np.asarray, res))
 
     matches: Dict[int, Dict[int, tuple]] = {i: {} for i in range(n)}
-    start = time.time()
-    key = jax.random.key(seed)
-    for src in range(n):
-        for dst in range(src + 1, n):
-            LOG.debug("Matching %d-%d", src + 1, dst + 1)
-            key, sub = jax.random.split(key)
-            res = pm.match_pair(dev[src][0], dev[src][1], dev[src][2],
-                                dev[dst][0], dev[dst][1], dev[dst][2], sub)
-            if not bool(res.ok):
-                continue
-            inl = np.asarray(res.inlier)
-            idx = np.asarray(res.idx)[inl].astype(np.int32)
-            hom = np.asarray(res.hom, np.float64)
-            matches[src][dst] = (idx, hom)
-            matches[dst][src] = (np.fliplr(idx), np.linalg.inv(hom))
+    flat = [jax.tree_util.tree_map(lambda a, i=i: a[i], r)
+            for r in results for i in range(len(r.ok))]
+    for (src, dst), res in zip(pairs, flat):
+        if not bool(res.ok):
+            continue
+        idx = res.idx[res.inlier].astype(np.int32)
+        if remap is not None:   # padded-buffer indices -> compacted
+            idx = np.stack([remap[src][idx[:, 0]],
+                            remap[dst][idx[:, 1]]], axis=1).astype(np.int32)
+        hom = res.hom.astype(np.float64)
+        matches[src][dst] = (idx, hom)
+        matches[dst][src] = (np.fliplr(idx), np.linalg.inv(hom))
     LOG.info("Matched features, time: %s", time.time() - start)
+    kpts = kpts_host
 
     matches = {i: col for i, col in matches.items() if col}
     kpts_arr = np.empty(n, dtype=object)

@@ -64,15 +64,36 @@ class PanoImage:
         return self.intr.dot(self.rot)
 
 
+def _np_log_so3(rot: np.ndarray) -> np.ndarray:
+    """Host Rodrigues log (f64); device round-trips per camera cost ~25 ms
+    each on high-latency links and dominated incremental BA."""
+    rad = np.array([rot[2, 1] - rot[1, 2], rot[0, 2] - rot[2, 0],
+                    rot[1, 0] - rot[0, 1]])
+    mod = np.linalg.norm(rad)
+    if mod < 1e-7:
+        return np.zeros(3)
+    theta = np.arccos(np.clip((np.trace(rot) - 1) / 2, -1, 1))
+    return rad * (theta / mod)
+
+
+def _np_exp_so3(rad: np.ndarray) -> np.ndarray:
+    """Host Rodrigues exp (f64)."""
+    ang = np.linalg.norm(rad)
+    if ang < 1e-12:
+        return np.eye(3)
+    x, y, z = rad / ang
+    cross = np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+    return np.eye(3) + np.sin(ang) * cross + (1 - np.cos(ang)) * cross @ cross
+
+
 def _np_params_from_camera(cam: PanoImage) -> np.ndarray:
     intr = cam.intr
     lead = np.array([intr[0, 0], intr[0, 2], intr[1, 2]])
-    return np.concatenate(
-        [lead, np.asarray(geo.log_so3(jnp.asarray(cam.rot)))])
+    return np.concatenate([lead, _np_log_so3(cam.rot)])
 
 
 def _np_camera_from_params(p: np.ndarray) -> PanoImage:
-    rot = np.asarray(geo.exp_so3(jnp.asarray(p[3:6])))
+    rot = _np_exp_so3(p[3:6])
     intr = np.array([[p[0], 0, p[1]], [0, p[0], p[2]], [0, 0, 1.0]])
     return PanoImage(None, rot, intr)
 
@@ -162,6 +183,55 @@ def _loss_stats(params, cam1_idx, cam2_idx, pts, mask):
     return jnp.sum(res * res), 2.0 * jnp.sum(mask)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _lm_optimize(params0, cam1_idx, cam2_idx, pts, mask,
+                 max_iter: int = LM_MAX_ITER):
+    """Full LM loop fused on device: one dispatch per ``optimize()``.
+
+    The host-loop variant pays a device round-trip per iteration — with
+    incremental BA that is thousands of dispatches per panorama, which
+    dominates end-to-end time on high-latency links. The solve runs in f32
+    with Jacobi (diagonal) preconditioning, which keeps the damped normal
+    equations well-conditioned despite focal-scale entries (~1e9).
+
+    Schedule identical to the reference (bundle_adj.py:311-345): fixed
+    lambda, accept-if-improves-by-1e-3, stop after 5 stalls or max_iter.
+    Returns (best_params, best_err).
+    """
+    nc6 = params0.shape[0] * 6
+
+    def loss_of(p):
+        sq, n = _loss_stats(p, cam1_idx, cam2_idx, pts, mask)
+        return jnp.sqrt(sq / jnp.maximum(n, 1.0))
+
+    def cond(state):
+        it, stalls, *_ = state
+        return (it < max_iter) & (stalls <= LM_MAX_STALLS)
+
+    def body(state):
+        it, stalls, cur, best, best_err = state
+        sq, n, jtj, jtr = _lm_stats(cur, cam1_idx, cam2_idx, pts, mask)
+        jtj = jtj + LM_LAMBDA * jnp.eye(nc6, dtype=jtj.dtype)
+        d = jax.lax.rsqrt(jnp.diagonal(jtj) + 1e-12)
+        a = jtj * d[:, None] * d[None, :]
+        b = jtr * d
+        delta = (jnp.linalg.solve(a, b) * d).reshape(cur.shape)
+        trial = cur - delta
+        err = loss_of(trial)
+        improved = err < best_err - LM_MIN_IMPROVE
+        best = jnp.where(improved, trial, best)
+        best_err = jnp.where(improved, err, best_err)
+        # cumulative (non-resetting) stall count, like the reference's
+        # n_not_improved (bundle_adj.py:341-343): exit after 6 total misses
+        stalls = stalls + jnp.where(improved, 0, 1)
+        return it + 1, stalls, trial, best, best_err
+
+    err0 = loss_of(params0)
+    state = (jnp.int32(0), jnp.int32(0), params0, params0, err0)
+    _, _, _, best, best_err = jax.lax.while_loop(cond, body, state)
+    return best, best_err, err0
+
+
 def _next_pow2(x: int, lo: int) -> int:
     n = lo
     while n < x:
@@ -227,44 +297,14 @@ class BundleAdjuster:
         if not self.matches:
             return
         idx, params, cam1, cam2, pts, mask = self._assemble()
-        n_active = len(idx)
+        LOG.debug("Optimizing %d cameras", len(idx))
 
-        dev = (jnp.asarray(params), jnp.asarray(cam1), jnp.asarray(cam2),
-               jnp.asarray(pts), jnp.asarray(mask))
-        sq, n = _loss_stats(*dev)
-        best_err = float(np.sqrt(float(sq) / float(n)))
-        LOG.debug("Optimizing %d cameras", n_active)
-        LOG.debug("Initial error: %s", best_err)
-
-        cur = params.astype(np.float64)
-        best = cur.copy()
-        n_not_improved = 0
-        for it in range(LM_MAX_ITER):
-            sq, n, jtj, jtr = _lm_stats(jnp.asarray(cur.astype(self.dtype)),
-                                        *dev[1:])
-            jtj = np.asarray(jtj, np.float64)
-            jtr = np.asarray(jtr, np.float64)
-            jtj[np.diag_indices_from(jtj)] += LM_LAMBDA
-            try:
-                delta = np.linalg.solve(jtj, jtr)
-            except np.linalg.LinAlgError:
-                break
-            trial = cur - delta.reshape(cur.shape)
-
-            sq, n = _loss_stats(jnp.asarray(trial.astype(self.dtype)),
-                                *dev[1:])
-            err = float(np.sqrt(float(sq) / float(n)))
-            if err < best_err - LM_MIN_IMPROVE:
-                best_err = err
-                best = trial.copy()
-                cur = trial
-            else:
-                cur = trial  # reference keeps iterating from the new point
-                n_not_improved += 1
-                if n_not_improved > LM_MAX_STALLS:
-                    break
-            LOG.debug("It #%d error: %s", it, err)
-        LOG.debug("Final error: %s", best_err)
+        best, best_err, err0 = _lm_optimize(
+            jnp.asarray(params), jnp.asarray(cam1), jnp.asarray(cam2),
+            jnp.asarray(pts), jnp.asarray(mask))
+        best = np.asarray(best, np.float64)
+        LOG.debug("Initial error: %s", float(err0))
+        LOG.debug("Final error: %s", float(best_err))
 
         for k, i in enumerate(idx):
             cam = _np_camera_from_params(best[k])

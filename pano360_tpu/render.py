@@ -374,9 +374,11 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     """
     n = len(regions)
     imgs = np.stack([r.img for r in regions])
-    if imgs.dtype == np.uint8:
-        imgs = imgs.astype(np.float32) / 255.0
     h, w = imgs.shape[1:3]
+    # upload in the source dtype (uint8 is 4x smaller) and convert on device
+    dev_imgs = jnp.asarray(imgs)
+    if imgs.dtype == np.uint8:
+        dev_imgs = dev_imgs.astype(jnp.float32) / 255.0
 
     homs = np.stack([r.hom() for r in regions])
     rmin, rmax = proj_img_range_border((h, w), jnp.asarray(homs))
@@ -384,7 +386,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     for k, reg in enumerate(regions):
         reg.range = (rmin[k], rmax[k])
 
-    imgs_rgba = add_weights(jnp.asarray(imgs, jnp.float32))
+    imgs_rgba = add_weights(dev_imgs.astype(jnp.float32))
     if equalize:
         imgs_rgba = equalize_gains(regions, imgs_rgba)
 
