@@ -29,10 +29,12 @@ from pano360_tpu import render  # noqa: E402
 
 
 def run_pipeline(imgs, seed=0):
-    kpts, matches = matching(imgs, seed=seed)
+    from pano360_tpu.pipeline import to_device
+    dev = to_device(imgs)                  # single host->device upload
+    kpts, matches = matching(imgs, seed=seed, dev_images=dev)
     regions = traverse(imgs, idx_to_keypoints(matches, kpts),
                        badjust="incr")
-    mosaic = render.stitch(regions, blender="multiband")
+    mosaic = render.stitch(regions, blender="multiband", dev_images=dev)
     return mosaic
 
 

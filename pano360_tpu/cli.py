@@ -76,13 +76,18 @@ def run(args) -> np.ndarray:
             f"_s{args.shrink}")
     imgs = load_images(args.path, args.shrink)
 
+    dev_images = None
+    if args.detector == "sift" and len({im.shape for im in imgs}) == 1:
+        from pano360_tpu.pipeline import to_device
+        dev_images = to_device(imgs)       # single host->device upload
+
     match_cache = os.path.join(args.cache_dir, f"matches_{name}.npz")
     try:
         arr = np.load(match_cache, allow_pickle=True)
         kpts, matches = arr["kpts"], arr["matches"]
     except IOError:
         kpts, matches = matching(imgs, detector=args.detector,
-                                 seed=args.seed)
+                                 seed=args.seed, dev_images=dev_images)
         np.savez(match_cache, kpts=kpts, matches=matches)
 
     ba_cache = os.path.join(args.cache_dir, f"ba_{name}.pkl")
@@ -99,7 +104,8 @@ def run(args) -> np.ndarray:
 
     start = time.time()
     mosaic = render.stitch(regions, blender=args.blend,
-                           equalize=args.equalize, crop=args.crop)
+                           equalize=args.equalize, crop=args.crop,
+                           dev_images=dev_images)
     LOG.info("Built mosaic, time: %s", time.time() - start)
     return mosaic
 

@@ -67,11 +67,16 @@ def knn2_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
     dist2 = jnp.maximum(dist2, 0.0)
     dist2 = jnp.where(valid2[None, :], dist2, jnp.inf)
 
-    # top-2 smallest along axis 1
-    neg, idx = jax.lax.top_k(-dist2, 2)
-    best_idx = idx[:, 0]
-    best = jnp.sqrt(-neg[:, 0])
-    second = jnp.sqrt(-neg[:, 1])
+    # top-2 smallest along axis 1 via two min-reductions (lax.top_k sorts
+    # the whole row on TPU; two passes over the distance matrix are ~10x
+    # cheaper at panorama descriptor counts)
+    best_idx = jnp.argmin(dist2, axis=1)
+    d1min = jnp.take_along_axis(dist2, best_idx[:, None], axis=1)[:, 0]
+    cols = jnp.arange(dist2.shape[1])[None, :]
+    masked = jnp.where(cols == best_idx[:, None], jnp.inf, dist2)
+    d2min = jnp.min(masked, axis=1)
+    best = jnp.sqrt(d1min)
+    second = jnp.sqrt(d2min)
 
     good = valid1 & (best < ratio * second) & jnp.isfinite(second)
     return best_idx, good

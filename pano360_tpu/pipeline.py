@@ -79,8 +79,19 @@ def _pad(arr: np.ndarray, cap: int) -> np.ndarray:
     return out
 
 
+def to_device(imgs: List[np.ndarray]) -> jnp.ndarray:
+    """Upload the image list once as a device-resident uint8 stack.
+
+    Host->device bandwidth is a first-order cost on relay-attached TPUs;
+    matching() and render.stitch() both accept this stack so the pipeline
+    pays for the upload exactly once.
+    """
+    return jnp.asarray(np.stack(imgs))
+
+
 def matching(imgs: List[np.ndarray], detector: str = "sift",
-             max_kpts: int = 4096, seed: int = 0):
+             max_kpts: int = 4096, seed: int = 0,
+             dev_images: Optional[jnp.ndarray] = None):
     """All-pairs feature matching (features.py:255-283 equivalent).
 
     Returns ``(kpts, matches)`` as numpy object arrays with the reference's
@@ -110,7 +121,7 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
         if len({im.shape for im in imgs}) != 1:
             raise ValueError("all images must share one shape for batching")
         h, w = imgs[0].shape[:2]
-        stack = jnp.asarray(np.stack(imgs))            # uint8, one upload
+        stack = dev_images if dev_images is not None else to_device(imgs)
         gray = bgr2gray(stack.astype(jnp.float32) / 255.0)
         cfg = S.SiftConfig(max_kpts=max_kpts)
         feats = S.sift_extract(gray, cfg)

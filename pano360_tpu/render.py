@@ -366,19 +366,26 @@ BLENDERS = {
 # ---------------------------------------------------------------------------
 
 def stitch(regions: List[PanoImage], blender: str = "multiband",
-           equalize: bool = False, crop: bool = False) -> np.ndarray:
+           equalize: bool = False, crop: bool = False,
+           dev_images=None) -> np.ndarray:
     """Full render: ranges -> weights -> (equalize) -> warp -> blend -> crop.
 
     ``regions[k].img``: uint8 BGR or float BGR in [0, 1]; all images must
-    share one shape (vectorization requirement). Returns a uint8 BGR mosaic.
+    share one shape (vectorization requirement). ``dev_images``: optional
+    device-resident uint8 stack (from ``pipeline.to_device``) to skip the
+    upload. Returns a uint8 BGR mosaic.
     """
     n = len(regions)
-    imgs = np.stack([r.img for r in regions])
-    h, w = imgs.shape[1:3]
-    # upload in the source dtype (uint8 is 4x smaller) and convert on device
-    dev_imgs = jnp.asarray(imgs)
-    if imgs.dtype == np.uint8:
-        dev_imgs = dev_imgs.astype(jnp.float32) / 255.0
+    if dev_images is not None and dev_images.shape[0] == n:
+        dev_imgs = dev_images.astype(jnp.float32) / 255.0
+        h, w = int(dev_images.shape[1]), int(dev_images.shape[2])
+    else:
+        imgs = np.stack([r.img for r in regions])
+        h, w = imgs.shape[1:3]
+        # upload in the source dtype (uint8 is 4x smaller), convert on device
+        dev_imgs = jnp.asarray(imgs)
+        if imgs.dtype == np.uint8:
+            dev_imgs = dev_imgs.astype(jnp.float32) / 255.0
 
     homs = np.stack([r.hom() for r in regions])
     rmin, rmax = proj_img_range_border((h, w), jnp.asarray(homs))
