@@ -1,0 +1,92 @@
+"""Mosaic quality comparison against the CPU reference at benchmark scale.
+
+Two PSNR numbers, because registration differences dominate naive pixel
+comparison:
+
+1. **render parity**: both renderers consume the *reference's* registration
+   (same cameras), so PSNR isolates the warp/blend implementation. This is
+   the number the >=40 dB target meaningfully applies to.
+2. **end-to-end**: each pipeline registers independently; sub-pixel global
+   alignment differences (focal within ~0.2%) shift textured content and
+   bound the attainable PSNR regardless of render quality.
+
+Writes QUALITY.json and the mosaics under benchmarks/.
+"""
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import cv2
+if not hasattr(cv2, "xfeatures2d"):
+    cv2.xfeatures2d = types.SimpleNamespace(SIFT_create=cv2.SIFT_create)
+if not hasattr(np, "object"):
+    np.object = object
+sys.path.insert(0, "/root/reference")
+
+from benchmarks.measure_baseline import bench_dataset  # noqa: E402
+
+
+def psnr(a, b):
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float(10 * np.log10(255.0 ** 2 / mse)) if mse > 0 else np.inf
+
+
+def main():
+    import features as ref_feat
+    import stitcher as ref_st
+    import bundle_adj as ref_ba
+
+    from pano360_tpu.pipeline import matching, idx_to_keypoints, to_device
+    from pano360_tpu.register import traverse, PanoImage
+    from pano360_tpu import render
+
+    imgs, _, _ = bench_dataset()
+    out = {}
+
+    # --- reference end-to-end (registration reused for render parity)
+    kpts_r, matches_r = ref_feat.matching(imgs)
+    regions_ref = ref_ba.traverse(
+        imgs, ref_st.idx_to_keypoints(matches_r, kpts_r), badjust="incr")
+    m_ref = ref_st.stitch(
+        [ref_ba.Image(r.img.copy(), r.rot.copy(), r.intr.copy())
+         for r in regions_ref], blender=ref_st.multiband_blend)
+    print(f"reference mosaic {m_ref.shape}", flush=True)
+
+    # --- our render on the reference's registration (render parity)
+    ours_shared = [PanoImage(r.img.copy(), r.rot.copy(), r.intr.copy())
+                   for r in regions_ref]
+    m_shared = render.stitch(ours_shared, blender="multiband")
+    out["render_parity_psnr_db"] = round(psnr(m_shared, m_ref), 2)
+    print(f"render parity (shared registration): "
+          f"{out['render_parity_psnr_db']} dB", flush=True)
+
+    # --- our full pipeline (independent registration)
+    dev = to_device(imgs)
+    kpts, matches = matching(imgs, seed=0, dev_images=dev)
+    regions = traverse(imgs, idx_to_keypoints(matches, kpts),
+                       badjust="incr")
+    m_ours = render.stitch(regions, blender="multiband", dev_images=dev)
+    out["e2e_psnr_db"] = round(psnr(m_ours, m_ref), 2)
+    out["shapes"] = {"ref": list(m_ref.shape), "ours": list(m_ours.shape)}
+    print(f"end-to-end (independent registration): "
+          f"{out['e2e_psnr_db']} dB shapes={out['shapes']}", flush=True)
+
+    cv2.imwrite(os.path.join(ROOT, "benchmarks", "mosaic_ref.png"), m_ref)
+    cv2.imwrite(os.path.join(ROOT, "benchmarks", "mosaic_shared_reg.png"),
+                m_shared)
+    cv2.imwrite(os.path.join(ROOT, "benchmarks", "mosaic_ours.png"), m_ours)
+    with open(os.path.join(ROOT, "benchmarks", "QUALITY.json"), "w") as fid:
+        json.dump(out, fid, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="PRNG seed for RANSAC hypothesis sampling.")
     parser.add_argument("--cache-dir", default=".",
                         help="directory for the match/BA cache files.")
+    parser.add_argument("--max-resolution", type=int,
+                        default=render.MAX_RESOLUTION,
+                        help="cap on the mosaic's longest side "
+                             "(reference default 1400).")
     return parser
 
 
@@ -105,7 +109,8 @@ def run(args) -> np.ndarray:
     start = time.time()
     mosaic = render.stitch(regions, blender=args.blend,
                            equalize=args.equalize, crop=args.crop,
-                           dev_images=dev_images)
+                           dev_images=dev_images,
+                           max_resolution=args.max_resolution)
     LOG.info("Built mosaic, time: %s", time.time() - start)
     return mosaic
 

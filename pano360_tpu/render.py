@@ -83,8 +83,14 @@ def proj_img_range_corners(shape: Tuple[int, int], hom: np.ndarray,
     return np.array([xmin, ymin]), np.array([xmax, ymax])
 
 
-def estimate_resolution(regions: List[PanoImage]):
-    """Output resolution and global range (stitcher.py:142-157). Host."""
+def estimate_resolution(regions: List[PanoImage],
+                        max_resolution: int = MAX_RESOLUTION):
+    """Output resolution and global range (stitcher.py:142-157). Host.
+
+    ``max_resolution``: cap on the mosaic's longest side (the reference
+    hardcodes 1400; exposed as a knob since TPU rendering is not the
+    bottleneck that motivated the cap).
+    """
     min_r = np.min(np.stack([r.range[0] for r in regions]), axis=0)
     max_r = np.max(np.stack([r.range[1] for r in regions]), axis=0)
     size = max_r - min_r
@@ -95,8 +101,8 @@ def estimate_resolution(regions: List[PanoImage]):
     resolution = (mid_range[1] - mid_range[0]) / im_shape
 
     max_side = np.max(size / resolution)
-    if max_side > MAX_RESOLUTION:
-        resolution *= max_side / MAX_RESOLUTION
+    if max_side > max_resolution:
+        resolution *= max_side / max_resolution
     return resolution, (min_r, max_r)
 
 
@@ -367,13 +373,17 @@ BLENDERS = {
 
 def stitch(regions: List[PanoImage], blender: str = "multiband",
            equalize: bool = False, crop: bool = False,
-           dev_images=None) -> np.ndarray:
+           dev_images=None,
+           max_resolution: int = MAX_RESOLUTION,
+           use_pallas: Optional[bool] = None) -> np.ndarray:
     """Full render: ranges -> weights -> (equalize) -> warp -> blend -> crop.
 
     ``regions[k].img``: uint8 BGR or float BGR in [0, 1]; all images must
     share one shape (vectorization requirement). ``dev_images``: optional
     device-resident uint8 stack (from ``pipeline.to_device``) to skip the
-    upload. Returns a uint8 BGR mosaic.
+    upload. ``use_pallas``: None = auto (fused Pallas warp kernel on TPU
+    when every tile's source window fits), True = require, False = never.
+    Returns a uint8 BGR mosaic.
     """
     n = len(regions)
     if dev_images is not None and dev_images.shape[0] == n:
@@ -397,7 +407,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     if equalize:
         imgs_rgba = equalize_gains(regions, imgs_rgba)
 
-    resolution, im_range = estimate_resolution(regions)
+    resolution, im_range = estimate_resolution(regions, max_resolution)
     target = (im_range[1] - im_range[0]) / resolution
     shape = tuple(int(t) for t in np.round(target))[::-1]  # (H, W)
 
@@ -423,11 +433,29 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     bottoms[:, 1] = np.clip(bottoms[:, 1], 0, shape[0] - ph)
 
     projs = np.stack([r.proj() for r in regions])
-    patches, invalid = backward_warp_all(
-        imgs_rgba, jnp.asarray(projs, jnp.float32),
-        jnp.asarray(bottoms, jnp.int32),
-        jnp.asarray(resolution, jnp.float32),
-        jnp.asarray(im_range[0], jnp.float32), ph, pw)
+    patches = invalid = None
+    if use_pallas is not False and jax.default_backend() == "tpu":
+        from pano360_tpu.ops import pallas_warp as PW
+        origins, ok, win_y, win_x = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], (h, w), ph, pw)
+        if ok:
+            planar = jnp.moveaxis(imgs_rgba, -1, 1)
+            patches, invalid = PW.pallas_backward_warp(
+                planar, jnp.asarray(projs, jnp.float32),
+                jnp.asarray(bottoms, jnp.int32),
+                jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(im_range[0], jnp.float32),
+                jnp.asarray(origins), ph, pw, win_y, win_x)
+        elif use_pallas is True:
+            LOG.warning("pallas warp requested but tile source extents "
+                        "exceed the window (heavy minification); using the "
+                        "XLA path")
+    if patches is None:
+        patches, invalid = backward_warp_all(
+            imgs_rgba, jnp.asarray(projs, jnp.float32),
+            jnp.asarray(bottoms, jnp.int32),
+            jnp.asarray(resolution, jnp.float32),
+            jnp.asarray(im_range[0], jnp.float32), ph, pw)
 
     mosaic = BLENDERS[blender](patches, invalid,
                                jnp.asarray(bottoms, jnp.int32), shape)

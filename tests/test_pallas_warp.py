@@ -1,0 +1,91 @@
+"""Pallas backward-warp kernel vs the XLA gather path (interpret mode).
+
+On CPU the kernel runs through the pallas interpreter — semantics only; the
+TPU compile/perf path is exercised by the project verify drives.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pano360_tpu import render, synth
+from pano360_tpu.register import PanoImage
+from pano360_tpu.ops import pallas_warp as PW
+
+
+def _setup(n_views=2, shape=(256, 384), max_resolution=4000, seed=5):
+    imgs, rots, focal = synth.make_views(n_views=n_views, shape=shape,
+                                         overlap=0.5, seed=seed)
+    intr = np.diag([focal, focal, 1.0])
+    regions = [PanoImage((im * 255).astype(np.uint8), r, intr.copy())
+               for im, r in zip(imgs, rots)]
+    h, w = shape
+    homs = np.stack([r.hom() for r in regions])
+    rmin, rmax = render.proj_img_range_border((h, w), jnp.asarray(homs))
+    rmin = np.asarray(rmin, np.float64)
+    rmax = np.asarray(rmax, np.float64)
+    for k, reg in enumerate(regions):
+        reg.range = (rmin[k], rmax[k])
+    dev = jnp.asarray(np.stack([r.img for r in regions])
+                      ).astype(jnp.float32) / 255
+    rgba = render.add_weights(dev)
+    resolution, im_range = render.estimate_resolution(regions,
+                                                      max_resolution)
+    target = (im_range[1] - im_range[0]) / resolution
+    mshape = tuple(int(t) for t in np.round(target))[::-1]
+    bottoms, tops = [], []
+    for reg in regions:
+        b = np.round((reg.range[0] - im_range[0]) / resolution)
+        t = np.round((reg.range[1] - im_range[0]) / resolution)
+        bottoms.append(b.astype(np.int64))
+        tops.append(t.astype(np.int64))
+    bottoms, tops = np.stack(bottoms), np.stack(tops)
+    ph = int((tops[:, 1] - bottoms[:, 1]).max())
+    pw = int((tops[:, 0] - bottoms[:, 0]).max())
+    ph, pw = min(ph, mshape[0]), min(pw, mshape[1])
+    bottoms[:, 0] = np.clip(bottoms[:, 0], 0, mshape[1] - pw)
+    bottoms[:, 1] = np.clip(bottoms[:, 1], 0, mshape[0] - ph)
+    projs = np.stack([r.proj() for r in regions])
+    return (rgba, projs, bottoms, resolution, im_range, (h, w), ph, pw)
+
+
+class TestPallasWarp:
+    def test_matches_xla_path(self):
+        rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup()
+        args = (jnp.asarray(projs, jnp.float32),
+                jnp.asarray(bottoms, jnp.int32),
+                jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(im_range[0], jnp.float32))
+        px, ix = render.backward_warp_all(rgba, *args, ph, pw)
+
+        origins, ok, wy, wx = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw)
+        assert ok, "test scene should be eligible"
+        planar = jnp.moveaxis(rgba, -1, 1)
+        pp, ip = PW.pallas_backward_warp(
+            planar, *args, jnp.asarray(origins), ph, pw, wy, wx,
+            interpret=True)
+
+        ixn, ipn = np.asarray(ix), np.asarray(ip)
+        np.testing.assert_array_equal(ixn, ipn)
+        val = ~ixn
+        diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
+        assert diff.max() < 1e-4, diff.max()
+
+    def test_minification_ineligible(self):
+        """A heavily capped mosaic must report ineligible (XLA fallback)."""
+        rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup(
+            max_resolution=120)
+        origins, ok, wy, wx = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw)
+        assert not ok
+
+    def test_stitch_pallas_flag_cpu_fallback(self):
+        """use_pallas=None on CPU silently uses the XLA path."""
+        imgs, rots, focal = synth.make_views(n_views=2, shape=(120, 160),
+                                             overlap=0.5, seed=7)
+        intr = np.diag([focal, focal, 1.0])
+        regions = [PanoImage((im * 255).astype(np.uint8), r, intr.copy())
+                   for im, r in zip(imgs, rots)]
+        mosaic = render.stitch(regions, blender="linear")
+        assert mosaic.ndim == 3 and mosaic.dtype == np.uint8
