@@ -217,3 +217,35 @@ def poisson_blend(img_source: np.ndarray, img_target: np.ndarray,
 
 __all__ = ["warp", "alpha_blend", "graph_cut", "laplacian_blending",
            "poisson_blend"]
+
+
+def main():
+    """Two-image blend demo (blend.py:206-231 equivalent).
+
+    Renders two synthetic views, warps them, cuts a seam through the
+    overlap, Poisson-blends it and saves the concatenated result.
+    """
+    import numpy as np
+    from pano360_tpu import synth
+    from pano360_tpu.imageio import imwrite
+    from pano360_tpu.geometry import intrinsics
+    import jax.numpy as jnp
+
+    imgs, rots, focal = synth.make_views(n_views=2, shape=(360, 480),
+                                         overlap=0.55, seed=0)
+    u8 = [(im * 255).astype(np.uint8) for im in imgs]
+    kint = np.asarray(intrinsics(jnp.float32(focal), (240.0, 180.0)))
+    w1, w2 = warp(u8[0], kint), warp(u8[1], kint)
+
+    delta = 260
+    mask = graph_cut(w1[:, -delta:], w2[:, :delta])
+    overlap = poisson_blend(w1[:, -delta:, :3], w2[:, :delta, :3].copy(),
+                            mask > 127)
+    blended = np.concatenate(
+        [w1[:, :-delta, :3], overlap, w2[:, delta:, :3]], axis=1)
+    imwrite("blend_demo.png", blended)
+    print(f"saved blend_demo.png ({blended.shape[1]}x{blended.shape[0]})")
+
+
+if __name__ == "__main__":
+    main()
