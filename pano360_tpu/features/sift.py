@@ -39,7 +39,7 @@ from jax import lax
 
 from pano360_tpu.geometry import det3x3, inv3x3
 from pano360_tpu.ops.filters import gaussian_blur
-from pano360_tpu.ops.resize import resize_bilinear
+from pano360_tpu.ops.resize import resize_bilinear, upsample2x_bilinear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,7 +94,7 @@ def _base_image(gray: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
     """(N, H, W) gray -> base image with blur sigma (upscaled 2x if set)."""
     n, h, w = gray.shape
     if cfg.upscale:
-        img = jax.vmap(lambda im: resize_bilinear(im, (2 * h, 2 * w)))(gray)
+        img = upsample2x_bilinear(gray)
         cur = cfg.init_sigma * 2.0
     else:
         img = gray
@@ -557,7 +557,7 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
     # transients (a single vmap materializes ~2.5 KB * samples * n_ori per
     # candidate — tens of GB at 15-image batch) and compiles the heavy
     # body exactly once regardless of batch or octave count.
-    chunk = 1024
+    chunk = 2048
     m = n * total
     n_chunks = -(-m // chunk)
     padded = n_chunks * chunk
