@@ -1,0 +1,83 @@
+"""Run the five BASELINE.md benchmark configurations end-to-end.
+
+Configs (BASELINE.md / BASELINE.json):
+  1. CMU0-like:  SIFT+RANSAC, --ba none,  --blend linear,  shrink 2
+  2. CMU2-like:  defaults (--ba incr, --blend multiband)
+  3. LunchRoom-like: --equalize + multiband (gain-perturbed views)
+  4. CMU1-like:  MSOP extractor path
+  5. UAV-like:   long sequence, --ba last + --crop
+
+Each runs on its own synthetic dataset (no reference datasets ship with the
+environment). Prints one JSON line per config with timing and basic output
+stats; writes CONFIGS.json.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pano360_tpu import synth  # noqa: E402
+from pano360_tpu.cli import build_parser, run  # noqa: E402
+
+
+def make_ds(tmp, name, n_views, shape, seed, gains=None):
+    imgs, rots, focal = synth.make_views(n_views=n_views, shape=shape,
+                                         overlap=0.5, seed=seed)
+    if gains is not None:
+        imgs = [np.clip(im * g, 0, 1) for im, g in zip(imgs, gains)]
+    path = os.path.join(tmp, name)
+    synth.write_dataset(path, imgs)
+    return path
+
+
+CONFIGS = [
+    ("cmu0_like_ba-none_linear_s2",
+     dict(n_views=6, shape=(600, 800), seed=10),
+     ["-s", "2", "--ba", "none", "-b", "linear"]),
+    ("cmu2_like_defaults",
+     dict(n_views=10, shape=(600, 800), seed=11),
+     ["-s", "2"]),
+    ("lunchroom_like_equalize_multiband",
+     dict(n_views=6, shape=(600, 800), seed=12,
+          gains=[0.8, 1.15, 0.9, 1.2, 0.95, 1.1]),
+     ["-s", "2", "-e"]),
+    ("cmu1_like_msop",
+     dict(n_views=5, shape=(480, 640), seed=13),
+     ["-s", "2", "--detector", "msop", "-b", "linear"]),
+    ("uav_like_ba-last_crop",
+     dict(n_views=12, shape=(480, 640), seed=14),
+     ["-s", "2", "--ba", "last", "-c"]),
+]
+
+
+def main():
+    import tempfile
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, ds_kwargs, flags in CONFIGS:
+            ds = make_ds(tmp, name, **ds_kwargs)
+            cache = os.path.join(tmp, name + "_cache")
+            os.makedirs(cache, exist_ok=True)
+            args = build_parser().parse_args(
+                [ds, *flags, "--cache-dir", cache])
+            t0 = time.time()
+            mosaic = run(args)
+            elapsed = time.time() - t0
+            filled = float((mosaic.sum(-1) > 0).mean())
+            results[name] = {
+                "time_s": round(elapsed, 2),
+                "mosaic": list(mosaic.shape),
+                "filled_frac": round(filled, 3),
+            }
+            print(json.dumps({name: results[name]}), flush=True)
+    with open(os.path.join(ROOT, "benchmarks", "CONFIGS.json"), "w") as fid:
+        json.dump(results, fid, indent=2)
+
+
+if __name__ == "__main__":
+    main()
