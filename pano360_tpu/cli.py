@@ -106,6 +106,11 @@ def run(args) -> np.ndarray:
         with open(ba_cache, "wb") as fid:
             pickle.dump(regions, fid, protocol=pickle.HIGHEST_PROTOCOL)
 
+    if not regions:
+        raise SystemExit(
+            "no connected images: the match graph is empty (need "
+            "overlapping views with enough texture)")
+
     start = time.time()
     mosaic = render.stitch(regions, blender=args.blend,
                            equalize=args.equalize, crop=args.crop,
