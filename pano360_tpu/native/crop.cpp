@@ -94,8 +94,11 @@ void seam_flood(const float* diff, int rows, int cols, int border,
             int nx = x + d[0], ny = y + d[1];
             if (nx < 0 || nx >= cols || ny < 0 || ny >= rows) continue;
             long nidx = (long)ny * cols + nx;
+            // max-heap: pop the LARGEST color difference first, matching
+            // the reference's heapq min-heap over -diff (blend.py:86-97)
+            // and the Python fallback _seam_flood_py
             if (mask[nidx] == 0)
-                heap.emplace(-diff[nidx], -(seq++), clr, nx, ny);
+                heap.emplace(diff[nidx], -(seq++), clr, nx, ny);
         }
     }
 }

@@ -91,8 +91,14 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
     Returns ``(origins (N, nty, ntx, 2) int32 [y, x], eligible, win_y,
     win_x)`` where win_y/win_x are the static window dims (rounded to TPU
     tiling, capped by the image and MAX_WIN_*).
+
+    ``img_shape`` is the TRUE (h, w); window placement is planned against
+    the (8, 128)-aligned padded dims (``pad_to_tiling``) so unaligned
+    images keep their last rows/columns coverable — the caller must pass
+    the edge-padded stack to ``pallas_backward_warp``.
     """
     h, w = img_shape
+    hp, wp = (-(-h // 8)) * 8, (-(-w // 128)) * 128   # padded dims
     n = projs.shape[0]
     nty = -(-ph // TILE_Y)
     ntx = -(-pw // TILE_X)
@@ -139,14 +145,14 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
 
     # Window origins must land on (8, 128) tiling boundaries for the HBM
     # DMA slice, so round origins down and grow the window by one tile of
-    # slack; the window itself must never extend past the image.
-    win_y = min(round_up(need_y, 8) + 8, round_up(h, 8))
-    win_x = min(round_up(need_x, 128) + 128, round_up(w, 128))
-    ok = (win_y >= need_y + 8 and win_x >= need_x + 128
-          and win_y <= MAX_WIN_Y and win_x <= MAX_WIN_X
-          and win_y <= h and win_x <= w)
-    max_oy = ((h - win_y) // 8) * 8 if h >= win_y else 0
-    max_ox = ((w - win_x) // 128) * 128 if w >= win_x else 0
+    # slack; the window must never extend past the PADDED image (unaligned
+    # trailing rows/cols stay coverable because the caller edge-pads).
+    win_y = min(round_up(need_y, 8) + 8, hp)
+    win_x = min(round_up(need_x, 128) + 128, wp)
+    ok = (win_y >= min(need_y + 8, hp) and win_x >= min(need_x + 128, wp)
+          and win_y <= MAX_WIN_Y and win_x <= MAX_WIN_X)
+    max_oy = hp - win_y
+    max_ox = wp - win_x
     for k, i, j, y0, x0 in exts:
         oy = (int(np.clip(y0, 0, max_oy)) // 8) * 8
         ox = (int(np.clip(x0, 0, max_ox)) // 128) * 128
@@ -154,14 +160,14 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
     return origins, ok, int(win_y), int(win_x)
 
 
-def _make_warp_kernel(win_y: int, win_x: int):
+def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int):
+    """``h``/``w``: TRUE image dims for validity masking (the image buffer
+    itself may be edge-padded to (8, 128) tiling)."""
     def _warp_kernel(origin_ref, proj_ref, bottom_ref, res_ref, rmin_ref,
                      img_ref, out_ref, mask_ref, win, sem):
         r = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
-        h = img_ref.shape[2]
-        w = img_ref.shape[3]
 
         # plan_windows aligns origins to the (8, 128) tiling; tell Mosaic
         # (it cannot prove divisibility of runtime values on its own)
@@ -227,19 +233,35 @@ def _make_warp_kernel(win_y: int, win_x: int):
     return _warp_kernel
 
 
+def pad_to_tiling(imgs_planar: jnp.ndarray) -> jnp.ndarray:
+    """Edge-pad (N, 4, H, W) to (8, 128)-aligned H/W so DMA window origins
+    can cover the trailing rows/columns of unaligned images."""
+    h, w = imgs_planar.shape[2:]
+    pad_h = (-h) % 8
+    pad_w = (-w) % 128
+    if pad_h == 0 and pad_w == 0:
+        return imgs_planar
+    return jnp.pad(imgs_planar, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)),
+                   mode="edge")
+
+
 @functools.partial(jax.jit,
                    static_argnames=("ph", "pw", "win_y", "win_x",
-                                    "interpret"))
+                                    "img_shape", "interpret"))
 def pallas_backward_warp(imgs_planar, projs, bottoms, resolution, range_min,
                          origins, ph: int, pw: int, win_y: int, win_x: int,
+                         img_shape: Tuple[int, int] = None,
                          interpret: bool = False):
     """All-region backward warp via the fused Pallas kernel.
 
     imgs_planar: (N, 4, H, W) float32 RGBA (planar layout so each channel
-    window is a proper (sublane, lane) tile); origins/win_y/win_x: from
+    window is a proper (sublane, lane) tile), H/W (8, 128)-aligned — pass
+    through ``pad_to_tiling`` first; ``img_shape``: the TRUE pre-padding
+    (h, w) used for validity masks; origins/win_y/win_x: from
     ``plan_windows``. Returns (patches (N, ph, pw, 4), invalid (N, ph, pw)).
     """
     n = imgs_planar.shape[0]
+    true_h, true_w = img_shape if img_shape else imgs_planar.shape[2:]
     nty = -(-ph // TILE_Y)
     ntx = -(-pw // TILE_X)
     php = nty * TILE_Y
@@ -268,7 +290,7 @@ def pallas_backward_warp(imgs_planar, projs, bottoms, resolution, range_min,
     )
 
     out, mask = pl.pallas_call(
-        _make_warp_kernel(win_y, win_x),
+        _make_warp_kernel(win_y, win_x, int(true_h), int(true_w)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, php, pwp), jnp.float32),
@@ -286,5 +308,5 @@ def pallas_backward_warp(imgs_planar, projs, bottoms, resolution, range_min,
     return patches, mask[:, :ph, :pw]
 
 
-__all__ = ["plan_windows", "pallas_backward_warp",
-           "TILE_Y", "TILE_X", "WIN_Y", "WIN_X"]
+__all__ = ["plan_windows", "pallas_backward_warp", "pad_to_tiling",
+           "TILE_Y", "TILE_X", "MAX_WIN_Y", "MAX_WIN_X"]

@@ -224,7 +224,12 @@ def _lm_optimize(params0, cam1_idx, cam2_idx, pts, mask,
         # cumulative (non-resetting) stall count, like the reference's
         # n_not_improved (bundle_adj.py:341-343): exit after 6 total misses
         stalls = stalls + jnp.where(improved, 0, 1)
-        return it + 1, stalls, trial, best, best_err
+        # reject -> roll back to the last accepted point and re-linearize
+        # there (bundle_adj.py:330-343); with fixed lambda the rejected
+        # step then repeats until the stall budget runs out, exactly as in
+        # the reference
+        cur = jnp.where(improved, trial, best)
+        return it + 1, stalls, cur, best, best_err
 
     err0 = loss_of(params0)
     state = (jnp.int32(0), jnp.int32(0), params0, params0, err0)

@@ -439,13 +439,14 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         origins, ok, win_y, win_x = PW.plan_windows(
             projs, bottoms, resolution, im_range[0], (h, w), ph, pw)
         if ok:
-            planar = jnp.moveaxis(imgs_rgba, -1, 1)
+            planar = PW.pad_to_tiling(jnp.moveaxis(imgs_rgba, -1, 1))
             patches, invalid = PW.pallas_backward_warp(
                 planar, jnp.asarray(projs, jnp.float32),
                 jnp.asarray(bottoms, jnp.int32),
                 jnp.asarray(resolution, jnp.float32),
                 jnp.asarray(im_range[0], jnp.float32),
-                jnp.asarray(origins), ph, pw, win_y, win_x)
+                jnp.asarray(origins), ph, pw, win_y, win_x,
+                img_shape=(h, w))
         elif use_pallas is True:
             LOG.warning("pallas warp requested but tile source extents "
                         "exceed the window (heavy minification); using the "

@@ -58,17 +58,20 @@ class TestGraphCut:
         assert (mask[:, -1] > 127).mean() < 0.1
 
     def test_native_flood_structure(self):
-        diff = RNG.random((30, 40)).astype(np.float32)
-        m_native = seam_flood(diff, border=3)
-        m_py = _seam_flood_py(diff, border=3)
-        assert set(np.unique(m_native)) <= {-1, 1}
-        assert set(np.unique(m_py)) <= {-1, 1}
-        # seeded borders identical
-        npt.assert_array_equal(m_native[:, :3], -1)
-        npt.assert_array_equal(m_native[:, -2:], 1)
-        # partitions agree except for heap tie-break differences (random
-        # cost maps maximize tie divergence; real seams agree far better)
-        assert (m_native == m_py).mean() > 0.7
+        """A low-difference corridor must attract the seam: the flood pops
+        the LARGEST difference first (blend.py:86-97 semantics), so high-
+        difference cells are claimed early by the nearest source and the
+        two fronts meet on the corridor (regression for the inverted-heap
+        C++ flood that ignored costs and met mid-overlap)."""
+        rows, cols, corridor = 30, 40, 10
+        diff = 1.0 + np.arange(rows * cols, dtype=np.float32
+                               ).reshape(rows, cols) * 1e-5  # unique costs
+        diff[:, corridor] = 0.01 + np.arange(rows) * 1e-5
+        for mask in (seam_flood(diff, border=3),
+                     _seam_flood_py(diff, border=3)):
+            assert set(np.unique(mask)) <= {-1, 1}
+            npt.assert_array_equal(mask[:, :corridor], -1)
+            npt.assert_array_equal(mask[:, corridor + 1:], 1)
 
 
 class TestLaplacian:

@@ -72,10 +72,64 @@ class TestPallasWarp:
         diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
         assert diff.max() < 1e-4, diff.max()
 
-    def test_minification_ineligible(self):
-        """A heavily capped mosaic must report ineligible (XLA fallback)."""
+    def test_matches_xla_path_unaligned(self):
+        """Non-(8,128)-aligned image sizes: trailing rows/cols must still
+        be covered (regression for the origin-clipping bug where the last
+        h%8 rows / w%128 cols were unreachable)."""
+        rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup(
+            shape=(300, 400), seed=11)
+        args = (jnp.asarray(projs, jnp.float32),
+                jnp.asarray(bottoms, jnp.int32),
+                jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(im_range[0], jnp.float32))
+        px, ix = render.backward_warp_all(rgba, *args, ph, pw)
+
+        origins, ok, wy, wx = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw)
+        assert ok, "unaligned test scene should be eligible"
+        planar = PW.pad_to_tiling(jnp.moveaxis(rgba, -1, 1))
+        assert planar.shape[2] % 8 == 0 and planar.shape[3] % 128 == 0
+        pp, ip = PW.pallas_backward_warp(
+            planar, *args, jnp.asarray(origins), ph, pw, wy, wx,
+            img_shape=hw, interpret=True)
+
+        ixn, ipn = np.asarray(ix), np.asarray(ip)
+        np.testing.assert_array_equal(ixn, ipn)
+        val = ~ixn
+        diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
+        assert diff.max() < 1e-4, diff.max()
+
+    def test_star_import_all_consistent(self):
+        """Every name in __all__ must exist (regression: WIN_Y/WIN_X)."""
+        for name in PW.__all__:
+            assert hasattr(PW, name), name
+
+    def test_minification_whole_image_window(self):
+        """Capped mosaic of a small source: the window covers the whole
+        image, so the kernel stays eligible and must match XLA."""
         rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup(
             max_resolution=120)
+        args = (jnp.asarray(projs, jnp.float32),
+                jnp.asarray(bottoms, jnp.int32),
+                jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(im_range[0], jnp.float32))
+        origins, ok, wy, wx = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw)
+        assert ok, "small source should stay eligible under minification"
+        px, ix = render.backward_warp_all(rgba, *args, ph, pw)
+        pp, ip = PW.pallas_backward_warp(
+            jnp.moveaxis(rgba, -1, 1), *args, jnp.asarray(origins),
+            ph, pw, wy, wx, img_shape=hw, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
+        val = ~np.asarray(ix)
+        diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
+        assert diff.max() < 1e-4, diff.max()
+
+    def test_minification_ineligible(self):
+        """A capped mosaic of a source too large for the window caps must
+        report ineligible (XLA fallback)."""
+        rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup(
+            shape=(300, 700), max_resolution=120)
         origins, ok, wy, wx = PW.plan_windows(
             projs, bottoms, resolution, im_range[0], hw, ph, pw)
         assert not ok
