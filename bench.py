@@ -29,9 +29,9 @@ from pano360_tpu import render  # noqa: E402
 
 
 def run_pipeline(imgs, seed=0):
-    from pano360_tpu.pipeline import to_device
-    dev = to_device(imgs)                  # single host->device upload
-    kpts, matches = matching(imgs, seed=seed, dev_images=dev)
+    from pano360_tpu.pipeline import upload_extract
+    dev, feats = upload_extract(imgs)      # upload overlapped with SIFT
+    kpts, matches = matching(imgs, seed=seed, dev_images=dev, feats=feats)
     regions = traverse(imgs, idx_to_keypoints(matches, kpts),
                        badjust="incr")
     mosaic = render.stitch(regions, blender="multiband", dev_images=dev)

@@ -80,18 +80,23 @@ def run(args) -> np.ndarray:
             f"_s{args.shrink}")
     imgs = load_images(args.path, args.shrink)
 
-    dev_images = None
-    if args.detector == "sift" and len({im.shape for im in imgs}) == 1:
-        from pano360_tpu.pipeline import to_device
-        dev_images = to_device(imgs)       # single host->device upload
+    dev_images = feats = None
+    uniform = len({im.shape for im in imgs}) == 1
 
     match_cache = os.path.join(args.cache_dir, f"matches_{name}.npz")
     try:
         arr = np.load(match_cache, allow_pickle=True)
         kpts, matches = arr["kpts"], arr["matches"]
+        if args.detector == "sift" and uniform:
+            from pano360_tpu.pipeline import to_device
+            dev_images = to_device(imgs)   # single host->device upload
     except IOError:
+        if args.detector == "sift" and uniform:
+            from pano360_tpu.pipeline import upload_extract
+            dev_images, feats = upload_extract(imgs)  # upload || extract
         kpts, matches = matching(imgs, detector=args.detector,
-                                 seed=args.seed, dev_images=dev_images)
+                                 seed=args.seed, dev_images=dev_images,
+                                 feats=feats)
         np.savez(match_cache, kpts=kpts, matches=matches)
 
     ba_cache = os.path.join(args.cache_dir, f"ba_{name}.pkl")

@@ -281,8 +281,33 @@ def match_pairs_batch(kpts, desc, valid, pair_a, pair_b, keys,
     return jax.vmap(one)(pair_a, pair_b, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("batch_size", "n_iters",
+                                             "ratio", "thresh"))
+def match_all_pairs(kpts, desc, valid, pair_a, pair_b, keys,
+                    batch_size: int = 16,
+                    ratio: float = LOWE_RATIO,
+                    n_iters: int = RANSAC_ITERS,
+                    thresh: float = RANSAC_THRESH) -> PairMatch:
+    """All P pairs in ONE device dispatch.
+
+    ``lax.map`` with ``batch_size`` runs vmapped chunks inside a scan, so
+    peak memory stays at one chunk's distance matrices while the host pays
+    a single dispatch + a single result sync for the whole match graph
+    (the chunked host loop costs ~25 ms dispatch latency per chunk on
+    relay-attached TPUs).
+    """
+    def one(args):
+        a, b, k = args
+        return match_pair(kpts[a], desc[a], valid[a],
+                          kpts[b], desc[b], valid[b], k,
+                          ratio=ratio, n_iters=n_iters, thresh=thresh)
+
+    return jax.lax.map(one, (pair_a, pair_b, keys), batch_size=batch_size)
+
+
 __all__ = [
     "PairMatch", "knn2_matches", "hom_from_4pts", "refit_homography",
     "ransac_homography", "match_pair", "match_pairs_batch",
+    "match_all_pairs",
     "LOWE_RATIO", "N_MIN_MATCH", "RANSAC_THRESH", "RANSAC_ITERS",
 ]

@@ -15,6 +15,7 @@ loop itself is host-side but each iteration is a single fused device call.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Dict, List, Optional, Tuple
@@ -89,17 +90,68 @@ def to_device(imgs: List[np.ndarray]) -> jnp.ndarray:
     return jnp.asarray(np.stack(imgs))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _gray_extract(stack_u8: jnp.ndarray, cfg: S.SiftConfig):
+    gray = bgr2gray(stack_u8.astype(jnp.float32) / 255.0)
+    return S.sift_extract(gray, cfg)
+
+
+@jax.jit
+def _compact_buffers(kp_buf, ds_buf, sel, counts):
+    """Gather the valid keypoint/descriptor rows to a smaller capacity."""
+    kp_c = jnp.take_along_axis(kp_buf, sel[..., None], axis=1)
+    ds_c = jnp.take_along_axis(ds_buf, sel[..., None], axis=1)
+    va_c = jnp.arange(sel.shape[1])[None, :] < counts[:, None]
+    return kp_c, ds_c, va_c
+
+
+def upload_extract(imgs: List[np.ndarray], max_kpts: int = 4096,
+                   n_batches: int = 4):
+    """Pipelined upload + SIFT extraction.
+
+    Splits the image list into ``n_batches`` equal device batches and
+    interleaves async host->device transfers with the per-batch
+    extraction dispatches, so the upload of batch k+1 rides under the
+    SIFT compute of batch k (upload and extraction are each ~1-1.5 s at
+    benchmark scale on a relay-attached chip; overlapped they cost
+    max, not sum). Returns ``(stack (N, H, W, 3) uint8 device,
+    SiftFeatures batched over all N)``; the list is padded to a multiple
+    of the batch size by repeating the last image (one XLA compile) and
+    the padding is sliced off on device.
+    """
+    n = len(imgs)
+    if len({im.shape for im in imgs}) != 1:
+        raise ValueError("all images must share one shape for batching")
+    n_batches = max(1, min(n_batches, n))
+    bs = -(-n // n_batches)
+    n_batches = -(-n // bs)
+    padded = list(imgs) + [imgs[-1]] * (n_batches * bs - n)
+    cfg = S.SiftConfig(max_kpts=max_kpts)
+
+    dev_batches, feat_batches = [], []
+    for b in range(n_batches):
+        db = jax.device_put(np.stack(padded[b * bs:(b + 1) * bs]))
+        dev_batches.append(db)
+        feat_batches.append(_gray_extract(db, cfg))
+
+    stack = jnp.concatenate(dev_batches, axis=0)[:n]
+    feats = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[:n], *feat_batches)
+    return stack, feats
+
+
 def matching(imgs: List[np.ndarray], detector: str = "sift",
              max_kpts: int = 4096, seed: int = 0,
-             dev_images: Optional[jnp.ndarray] = None):
+             dev_images: Optional[jnp.ndarray] = None,
+             feats: Optional[S.SiftFeatures] = None):
     """All-pairs feature matching (features.py:255-283 equivalent).
 
     Returns ``(kpts, matches)`` as numpy object arrays with the reference's
     exact structure (NPZ-cache compatible). The SIFT path is fully
-    device-resident: one upload of the uint8 image stack, batched gray
-    conversion + extraction + chunked pair matching without host round
-    trips (per-image host conversions cost seconds of dispatch latency on
-    high-latency links).
+    device-resident: one pipelined upload of the uint8 image stack
+    overlapped with extraction (``upload_extract``), then the whole match
+    graph in a single device dispatch. ``feats``: optional precomputed
+    ``SiftFeatures`` (from ``upload_extract``) to skip extraction.
     """
     if not imgs:
         raise ValueError("no images to process (empty directory?)")
@@ -121,42 +173,60 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
         if len({im.shape for im in imgs}) != 1:
             raise ValueError("all images must share one shape for batching")
         h, w = imgs[0].shape[:2]
-        stack = dev_images if dev_images is not None else to_device(imgs)
-        gray = bgr2gray(stack.astype(jnp.float32) / 255.0)
-        cfg = S.SiftConfig(max_kpts=max_kpts)
-        feats = S.sift_extract(gray, cfg)
+        if feats is None:
+            if dev_images is not None:
+                cfg = S.SiftConfig(max_kpts=max_kpts)
+                feats = _gray_extract(dev_images, cfg)
+            else:
+                _, feats = upload_extract(imgs, max_kpts)
         cent = jnp.asarray([w / 2, h / 2], jnp.float32)
         kp_buf = feats.xy - cent
         ds_buf = S.root_sift(feats.desc)
         va_buf = feats.valid
-        cap = max_kpts
+        cap = int(feats.xy.shape[1])
 
-        # host copies for the cache (compacted) + index remap pad->compact
+        # host copies for the cache (compacted)
         valid_np = np.asarray(va_buf)
         kp_np = np.asarray(kp_buf)
         kpts_host = [kp_np[i][valid_np[i]].astype(np.float32)
                      for i in range(n)]
-        remap = np.cumsum(valid_np, axis=1) - 1        # (N, cap)
+
+        # compact the padded buffers to the max valid count: matching cost
+        # scales with cap^2 (distance matrices), so unfilled capacity is
+        # pure waste; compaction also makes match indices directly index
+        # the compacted per-image keypoint lists (the cache format)
+        counts = valid_np.sum(axis=1).astype(np.int32)
+        cmax = int(counts.max()) if n else 0
+        ccap = max(64, 1 << max(cmax - 1, 0).bit_length())
+        if ccap < cap:
+            sel = np.zeros((n, ccap), np.int32)
+            for i in range(n):
+                nz = np.flatnonzero(valid_np[i])
+                sel[i, : len(nz)] = nz
+            kp_buf, ds_buf, va_buf = _compact_buffers(
+                kp_buf, ds_buf, jnp.asarray(sel), jnp.asarray(counts))
+            cap = ccap
+            remap = None   # compacted: matches index the compact lists
+        else:
+            remap = np.cumsum(valid_np, axis=1) - 1    # pad->compact
         LOG.info("Extracted keypoints, time: %s", time.time() - start)
 
     pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
     start = time.time()
     keys = jax.random.split(jax.random.key(seed), max(len(pairs), 1))
 
-    # chunked batch matching: one dispatch per chunk instead of per pair
-    chunk = max(1, min(16, (1 << 28) // max(cap * cap * 4, 1)))
-    results = []
-    for c0 in range(0, len(pairs), chunk):
-        sub = pairs[c0:c0 + chunk]
-        pa = jnp.asarray([p[0] for p in sub], jnp.int32)
-        pb = jnp.asarray([p[1] for p in sub], jnp.int32)
-        res = pm.match_pairs_batch(kp_buf, ds_buf, va_buf, pa, pb,
-                                   keys[c0:c0 + len(sub)])
-        results.append(jax.tree_util.tree_map(np.asarray, res))
+    # all pairs in one dispatch (lax.map chunks internally to bound the
+    # distance-matrix memory), one host sync for the whole match graph
+    batch = max(1, min(16, (1 << 28) // max(cap * cap * 4, 1)))
+    pa = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    pb = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    res_dev = pm.match_all_pairs(kp_buf, ds_buf, va_buf, pa, pb, keys,
+                                 batch_size=batch)
+    res_np = jax.tree_util.tree_map(np.asarray, res_dev)
 
     matches: Dict[int, Dict[int, tuple]] = {i: {} for i in range(n)}
-    flat = [jax.tree_util.tree_map(lambda a, i=i: a[i], r)
-            for r in results for i in range(len(r.ok))]
+    flat = [jax.tree_util.tree_map(lambda a, i=i: a[i], res_np)
+            for i in range(len(pairs))]
     for (src, dst), res in zip(pairs, flat):
         if not bool(res.ok):
             continue
@@ -192,4 +262,5 @@ def idx_to_keypoints(matches, kpts):
             for i, col in matches.items()}
 
 
-__all__ = ["detect_all", "matching", "idx_to_keypoints"]
+__all__ = ["detect_all", "matching", "idx_to_keypoints", "to_device",
+           "upload_extract"]

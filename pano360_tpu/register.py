@@ -206,7 +206,14 @@ def _lm_optimize(params0, cam1_idx, cam2_idx, pts, mask,
 
     def cond(state):
         it, stalls, *_ = state
-        return (it < max_iter) & (stalls <= LM_MAX_STALLS)
+        # With fixed lambda and rollback-on-reject, the state after a
+        # rejection is frozen: the next linearization (at the rolled-back
+        # point) reproduces the same step and the same rejection, so the
+        # reference's 5 further stall iterations (bundle_adj.py:341-343)
+        # are identical no-ops. Exiting at the first rejection returns
+        # bit-identical (best, best_err) while skipping ~6 wasted
+        # iterations per optimize().
+        return (it < max_iter) & (stalls < 1)
 
     def body(state):
         it, stalls, cur, best, best_err = state
@@ -244,15 +251,38 @@ def _next_pow2(x: int, lo: int) -> int:
     return n
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _write_edges(pts_buf, mask_buf, new_pts, new_mask, e0):
+    """Append edge rows into the device-resident problem buffers."""
+    pts_buf = jax.lax.dynamic_update_slice(pts_buf, new_pts, (e0, 0, 0))
+    mask_buf = jax.lax.dynamic_update_slice(mask_buf, new_mask, (e0, 0))
+    return pts_buf, mask_buf
+
+
 class BundleAdjuster:
-    """Incremental bundle adjustment (IncrementalBundleAdjuster parity)."""
+    """Incremental bundle adjustment (IncrementalBundleAdjuster parity).
+
+    The match-point tensors live on device and are appended to as cameras
+    arrive, so each ``optimize()`` is one dispatch with kilobyte-scale
+    transfers (params/indices up, solution down) instead of re-uploading
+    the whole problem. ``edge_cap``/``match_cap`` hints fix the padded
+    problem shape up front (one XLA compile for the whole incremental
+    schedule); without hints the buffers grow by doubling.
+    """
 
     def __init__(self, n_cameras: int, mode: str = "incr",
-                 dtype=np.float32):
+                 dtype=np.float32, edge_cap: Optional[int] = None,
+                 match_cap: Optional[int] = None):
         self.cameras: List[Optional[PanoImage]] = [None] * n_cameras
         self.matches: List[Tuple[int, int, np.ndarray]] = []
         self.mode = mode
         self.dtype = dtype
+        self._cp = _next_pow2(n_cameras, 4)
+        self._ep = _next_pow2(edge_cap, 4) if edge_cap else 4
+        self._mp = _next_pow2(match_cap, 64) if match_cap else 64
+        self._pts = None        # device (EP, MP, 6)
+        self._mask = None       # device (EP, MP)
+        self._n_dev = 0         # edges uploaded so far
 
     def add(self, idx: int, camera: PanoImage, matches: Dict) -> None:
         """Add a camera and its valid edges (bundle_adj.py:297-309)."""
@@ -267,6 +297,44 @@ class BundleAdjuster:
 
         if self.mode == "incr":
             self.optimize()
+
+    # -- device-resident problem buffers --------------------------------
+
+    def _benign_rows(self, k: int) -> np.ndarray:
+        rows = np.zeros((k, self._mp, 6), self.dtype)
+        rows[..., 2] = 1.0   # benign homogeneous padding (no 0/0 under AD)
+        rows[..., 5] = 1.0
+        return rows
+
+    def _sync_device(self) -> None:
+        """Upload edges added since the last sync (grow buffers if needed)."""
+        need_mp = max((len(m) for _, _, m in self.matches), default=1)
+        grow = need_mp > self._mp
+        while self._mp < need_mp:
+            self._mp *= 2
+        while self._ep < len(self.matches):
+            self._ep *= 2
+            grow = True
+        if self._pts is None or grow or self._pts.shape[0] != self._ep:
+            self._pts = None    # full rebuild at the new capacity
+            self._n_dev = 0
+
+        if self._pts is None:
+            self._pts = jnp.asarray(self._benign_rows(self._ep))
+            self._mask = jnp.zeros((self._ep, self._mp), self.dtype)
+
+        new = self.matches[self._n_dev:]
+        if not new:
+            return
+        rows = self._benign_rows(len(new))
+        mrows = np.zeros((len(new), self._mp), self.dtype)
+        for e, (_, _, m) in enumerate(new):
+            rows[e, : len(m)] = m
+            mrows[e, : len(m)] = 1.0
+        self._pts, self._mask = _write_edges(
+            self._pts, self._mask, jnp.asarray(rows), jnp.asarray(mrows),
+            self._n_dev)
+        self._n_dev = len(self.matches)
 
     # -- padded problem assembly --------------------------------------
 
@@ -301,18 +369,30 @@ class BundleAdjuster:
     def optimize(self) -> None:
         if not self.matches:
             return
-        idx, params, cam1, cam2, pts, mask = self._assemble()
+        self._sync_device()
+        idx = [i for i, c in enumerate(self.cameras) if c is not None]
         LOG.debug("Optimizing %d cameras", len(idx))
+
+        params = np.zeros((self._cp, 6), self.dtype)
+        params[:, 0] = 1.0  # benign focal for unplaced cameras
+        for i in idx:
+            params[i] = _np_params_from_camera(self.cameras[i])
+        cam1 = np.zeros(self._ep, np.int32)
+        cam2 = np.zeros(self._ep, np.int32)
+        for e, (i_new, j_idx, _) in enumerate(self.matches):
+            cam1[e] = j_idx    # get_diff(cameras[j], cameras[i], m)
+            cam2[e] = i_new
 
         best, best_err, err0 = _lm_optimize(
             jnp.asarray(params), jnp.asarray(cam1), jnp.asarray(cam2),
-            jnp.asarray(pts), jnp.asarray(mask))
+            self._pts, self._mask)
         best = np.asarray(best, np.float64)
-        LOG.debug("Initial error: %s", float(err0))
-        LOG.debug("Final error: %s", float(best_err))
+        if LOG.isEnabledFor(logging.DEBUG):   # float() forces a transfer
+            LOG.debug("Initial error: %s", float(err0))
+            LOG.debug("Final error: %s", float(best_err))
 
-        for k, i in enumerate(idx):
-            cam = _np_camera_from_params(best[k])
+        for i in idx:
+            cam = _np_camera_from_params(best[i])
             cam.img = self.cameras[i].img
             self.cameras[i] = cam
 
@@ -378,7 +458,14 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
     focals = np.asarray(geo.focal_from_hom(jnp.asarray(np.stack(homs))))
     intr = np.diag([np.median(focals)] * 2 + [1.0])
 
-    iba = BundleAdjuster(len(imgs), mode=badjust)
+    # capacity hints fix the padded LM problem shape up front: one compile
+    # for the whole incremental schedule instead of one per growth step
+    n_edges = sum(len(matches[i]) for i in matches.keys()) // 2
+    mp = max((matches[i][j][0].shape[0]
+              for i in matches.keys() for j in matches[i].keys()),
+             default=1)
+    iba = BundleAdjuster(len(imgs), mode=badjust,
+                         edge_cap=max(n_edges, 1), match_cap=mp)
     iba.cameras[src] = PanoImage(None, np.eye(3), intr)
 
     qq = [(-matches[src][j][2], src, j) for j in matches[src].keys()]
