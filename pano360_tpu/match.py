@@ -114,23 +114,38 @@ def _dlt_rows(p1: jnp.ndarray, p2: jnp.ndarray):
     return jnp.concatenate([r1, r2], axis=0)  # (2N, 9)
 
 
-def hom_from_4pts(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """Exact homography from 4 correspondences via normalized 8x8 solve.
+def _quad_to_basis(q: jnp.ndarray) -> jnp.ndarray:
+    """3x3 map sending the projective basis e1,e2,e3,(1,1,1) to quad ``q``.
 
-    Fixing h33 = 1 after normalization; degenerate samples yield NaN/inf
-    entries which downstream inlier counting scores as zero.
+    ``q``: (4, 2) points. Columns are the first three (homogeneous) points
+    scaled so their sum hits the fourth — the classic closed-form
+    construction of a projective frame from 4 points.
     """
-    w4 = jnp.ones((4,), dtype=p1.dtype)
-    t1 = _normalization(p1, w4)
-    t2 = _normalization(p2, w4)
-    n1 = p1 * t1[0, 0] + t1[:2, 2][None, :]
-    n2 = p2 * t2[0, 0] + t2[:2, 2][None, :]
-    rows = _dlt_rows(n1, n2)                 # (8, 9)
-    a, b = rows[:, :8], -rows[:, 8]
-    h8 = jnp.linalg.solve(a, b)
-    hn = jnp.concatenate([h8, jnp.ones((1,), dtype=h8.dtype)]).reshape(3, 3)
-    hom = inv3x3(t2) @ hn @ t1
-    return hom / hom[2, 2]
+    qh = jnp.concatenate([q, jnp.ones((4, 1), q.dtype)], axis=1)   # (4, 3)
+    m = qh[:3].T                                                   # (3, 3)
+    # f32 MXU precision: the TPU matmul default is bf16-accumulate, which
+    # at +-300-px coordinates corrupts the homography by O(1)
+    c = jnp.dot(inv3x3(m), qh[3], precision=_MXU)                  # (3,)
+    return m * c[None, :]
+
+
+def hom_from_4pts(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Exact homography from 4 correspondences, closed form.
+
+    ``H = B A^{-1}`` with A/B the projective-basis frames of the two
+    quads — pure 3x3 adjugate inverses and matmuls, which vectorize over
+    RANSAC hypotheses ~20x better on TPU than the batched pivoted 8x8 LU
+    the normalized-DLT formulation needs (tiny sequential linalg is the
+    one thing the MXU/VPU executes poorly). Degenerate (collinear)
+    samples hit a zero determinant and yield inf/NaN entries, which
+    downstream inlier counting scores as zero.
+    """
+    a = _quad_to_basis(p1)
+    b = _quad_to_basis(p2)
+    hom = jnp.dot(b, inv3x3(a), precision=_MXU)
+    z = hom[2, 2]
+    z = jnp.where(jnp.abs(z) > 1e-20, z, jnp.inf)
+    return hom / z
 
 
 def _reproj_errors(hom: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray):

@@ -183,10 +183,9 @@ def _loss_stats(params, cam1_idx, cam2_idx, pts, mask):
     return jnp.sum(res * res), 2.0 * jnp.sum(mask)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _lm_optimize(params0, cam1_idx, cam2_idx, pts, mask,
-                 max_iter: int = LM_MAX_ITER):
-    """Full LM loop fused on device: one dispatch per ``optimize()``.
+def _lm_core(params0, cam1_idx, cam2_idx, pts, mask,
+             max_iter: int = LM_MAX_ITER):
+    """Full LM loop fused on device (traceable; see ``_lm_optimize``).
 
     The host-loop variant pays a device round-trip per iteration — with
     incremental BA that is thousands of dispatches per panorama, which
@@ -242,6 +241,73 @@ def _lm_optimize(params0, cam1_idx, cam2_idx, pts, mask,
     state = (jnp.int32(0), jnp.int32(0), params0, params0, err0)
     _, _, _, best, best_err = jax.lax.while_loop(cond, body, state)
     return best, best_err, err0
+
+
+_lm_optimize = functools.partial(jax.jit, static_argnames=("max_iter",))(
+    _lm_core)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "max_iter"))
+def _traverse_kernel(params0, place_dst, place_src, homs, intr,
+                     cam1_idx, cam2_idx, pts, mask, edge_add,
+                     mode: str, max_iter: int = LM_MAX_ITER):
+    """The ENTIRE incremental registration schedule in one dispatch.
+
+    The reference's traverse (bundle_adj.py:348-395) interleaves host graph
+    logic with numeric work per added camera; on a relay-attached TPU each
+    per-add ``optimize()`` costs a full round trip (~33 ms) while its device
+    compute is ~1 ms, so registration was latency-bound. The *order* of
+    adds is fixed by the match scores alone (host-computable upfront), so
+    everything value-dependent — seeding the new camera's rotation from the
+    pair homography, gating its edges by initial RMSE (<150,
+    bundle_adj.py:15,304), and the per-add LM optimize — runs as one
+    ``lax.scan`` over the precomputed schedule.
+
+    params0: (C, 6) with the seed camera's row set; place_dst/place_src:
+    (A,) int32 camera indices per add; homs: (A, 3, 3) pair homographies
+    (src <- dst pixels); intr: (3, 3) shared K. Edge tensors as in
+    ``_lm_stats``; ``edge_add[e]`` = the add index that gates edge e.
+    No-op padding adds must route place_dst/place_src to a scratch camera
+    row. Returns (params, enabled) after the full schedule.
+    """
+    kinv = geo.inv3x3(intr)
+    lead = jnp.stack([intr[0, 0], intr[0, 2], intr[1, 2]]
+                     ).astype(params0.dtype)
+
+    def edge_rmse(params):
+        pa = params[cam1_idx]
+        pb = params[cam2_idx]
+        res = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
+                       in_axes=(0, 0, 0))(pa, pb, pts)
+        res = res * mask[..., None]
+        sq = jnp.sum(res * res, axis=(1, 2))
+        n = 2.0 * jnp.sum(mask, axis=1)
+        return jnp.sqrt(sq / jnp.maximum(n, 1.0))
+
+    def add_step(carry, xs):
+        params, enabled = carry
+        k, dst, src, hom = xs
+        # seed: rot = to_rotation(K^-1 H K) @ rot_src (bundle_adj.py:370-372)
+        r_src = geo.exp_so3(params[src, 3:6])
+        r_rel = geo.nearest_rotation(kinv @ hom @ intr)
+        newp = jnp.concatenate([lead, geo.log_so3(r_rel @ r_src)])
+        params = params.at[dst].set(newp)
+        # gate this add's edges by initial RMSE against current cameras
+        rmse = edge_rmse(params)
+        enabled = enabled | ((edge_add == k) & (rmse < MIN_MATCH_ERROR))
+        if mode == "incr":
+            params, _, _ = _lm_core(params, cam1_idx, cam2_idx, pts,
+                                    mask * enabled[:, None], max_iter)
+        return (params, enabled), None
+
+    a = place_dst.shape[0]
+    enabled0 = jnp.zeros(edge_add.shape, bool)
+    xs = (jnp.arange(a, dtype=edge_add.dtype), place_dst, place_src, homs)
+    (params, enabled), _ = jax.lax.scan(add_step, (params0, enabled0), xs)
+    if mode == "last":
+        params, _, _ = _lm_core(params, cam1_idx, cam2_idx, pts,
+                                mask * enabled[:, None], max_iter)
+    return params, enabled
 
 
 def _next_pow2(x: int, lo: int) -> int:
@@ -432,15 +498,6 @@ def jacobian_numeric(params: np.ndarray, cam1_idx, cam2_idx, pts, mask,
 # Traverse (panorama discovery)
 # ---------------------------------------------------------------------------
 
-def _np_to_rotation(mat: np.ndarray) -> np.ndarray:
-    """Closest rotation (host f64), matching bundle_adj.py:118-124."""
-    uu, _, vt = np.linalg.svd(mat)
-    rot = uu @ vt
-    if np.linalg.det(rot) < 0:
-        rot = -rot
-    return rot
-
-
 def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
              use_straighten: bool = True) -> List[PanoImage]:
     """Best-first expansion over the match graph (bundle_adj.py:348-395).
@@ -452,43 +509,77 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
                  for i in matches.keys() for j in matches[i].keys()]
     if not pair_list:
         return []
-    ids, homs, scores = zip(*pair_list)
+    ids, homs_all, scores = zip(*pair_list)
     src = ids[int(np.argmax(scores))]
 
-    focals = np.asarray(geo.focal_from_hom(jnp.asarray(np.stack(homs))))
+    focals = np.asarray(geo.focal_from_hom(jnp.asarray(np.stack(homs_all))))
     intr = np.diag([np.median(focals)] * 2 + [1.0])
 
-    # capacity hints fix the padded LM problem shape up front: one compile
-    # for the whole incremental schedule instead of one per growth step
-    n_edges = sum(len(matches[i]) for i in matches.keys()) // 2
-    mp = max((matches[i][j][0].shape[0]
-              for i in matches.keys() for j in matches[i].keys()),
-             default=1)
-    iba = BundleAdjuster(len(imgs), mode=badjust,
-                         edge_cap=max(n_edges, 1), match_cap=mp)
-    iba.cameras[src] = PanoImage(None, np.eye(3), intr)
-
+    # the heap-walk ORDER depends only on the (host-known) match scores, so
+    # the whole schedule — which camera is added when, seeded from which
+    # pair homography, gating which edges — is computed here; every
+    # value-dependent number (seeds, RMSE gates, LM) runs in ONE device
+    # dispatch (_traverse_kernel) instead of a round trip per added camera
+    placed = {src}
+    adds: List[Tuple[int, int, np.ndarray]] = []     # (dst, src_i, hom)
+    edges: List[Tuple[int, int, np.ndarray, int]] = []  # (c1, c2, pts, add)
     qq = [(-matches[src][j][2], src, j) for j in matches[src].keys()]
     heapq.heapify(qq)
-
     while qq:
         _, src_i, dst = heapq.heappop(qq)
-        if iba.cameras[dst] is not None:
+        if dst in placed:
             continue
-        hom = matches[src_i][dst][1]
-        rot = _np_to_rotation(np.linalg.inv(intr) @ hom @ intr)
-        rot = rot @ iba.cameras[src_i].rot
-        iba.add(dst, PanoImage(None, rot, intr), matches)
+        k = len(adds)
+        adds.append((dst, src_i, matches[src_i][dst][1]))
+        for other in range(len(imgs)):   # add() scans cameras in index order
+            if other in placed and other in matches.get(dst, {}):
+                edges.append((dst, other, matches[dst][other][0], k))
+        placed.add(dst)
         for new in matches[dst].keys():
             heapq.heappush(qq, (-matches[dst][new][2], dst, new))
 
-    if badjust == "last":
-        iba.optimize()
+    n = len(imgs)
+    cp = _next_pow2(n + 1, 4)      # +1 scratch row for no-op padding adds
+    scratch = cp - 1
+    ap = max(n - 1, 1)             # schedule length is shape-stable in N
+    ep = _next_pow2(max(len(edges), 1), 4)
+    mp = _next_pow2(max((m.shape[0] for _, _, m, _ in edges), default=1), 64)
 
-    cameras = iba.cameras
-    for i, img in enumerate(imgs):
-        if cameras[i] is not None:
-            cameras[i].img = img
+    dtype = np.float32
+    params0 = np.zeros((cp, 6), dtype)
+    params0[:, 0] = 1.0
+    params0[src] = [intr[0, 0], intr[0, 2], intr[1, 2], 0.0, 0.0, 0.0]
+
+    place_dst = np.full(ap, scratch, np.int32)
+    place_src = np.full(ap, scratch, np.int32)
+    homs = np.broadcast_to(np.eye(3, dtype=dtype), (ap, 3, 3)).copy()
+    for k, (dst, src_i, hom) in enumerate(adds):
+        place_dst[k], place_src[k] = dst, src_i
+        homs[k] = hom
+    cam1 = np.zeros(ep, np.int32)
+    cam2 = np.zeros(ep, np.int32)
+    pts = np.zeros((ep, mp, 6), dtype)
+    pts[..., 2] = 1.0   # benign homogeneous padding (no 0/0 under AD)
+    pts[..., 5] = 1.0
+    mask = np.zeros((ep, mp), dtype)
+    edge_add = np.full(ep, -1, np.int32)   # padded edges are never gated in
+    for e, (c1, c2, m, k) in enumerate(edges):
+        cam1[e], cam2[e], edge_add[e] = c1, c2, k
+        pts[e, : len(m)] = m
+        mask[e, : len(m)] = 1.0
+
+    params, _ = _traverse_kernel(
+        jnp.asarray(params0), jnp.asarray(place_dst), jnp.asarray(place_src),
+        jnp.asarray(homs), jnp.asarray(intr.astype(dtype)),
+        jnp.asarray(cam1), jnp.asarray(cam2), jnp.asarray(pts),
+        jnp.asarray(mask), jnp.asarray(edge_add), mode=badjust)
+    params = np.asarray(params, np.float64)
+
+    cameras: List[Optional[PanoImage]] = [None] * n
+    for i in sorted(placed):
+        cam = _np_camera_from_params(params[i])
+        cam.img = imgs[i]
+        cameras[i] = cam
     cameras = [c for c in cameras if c is not None]
 
     if use_straighten and cameras:
