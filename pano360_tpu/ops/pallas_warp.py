@@ -21,9 +21,12 @@ Measured on v5e at a 6-view full-resolution render: 64 ms vs 113 ms for
 the XLA gather path, bit-identical masks, pixel agreement to f32 rounding.
 
 Eligibility: the window is a static (win_y, win_x) box sized by
-``plan_windows``; when a tile's true source extent exceeds the caps
-(heavy minification, e.g. a MAX_RESOLUTION-capped mosaic of a long
-sweep), the caller must use the XLA gather path instead.
+``plan_windows``. Tiles whose source extent exceeds the caps (heavy
+minification, e.g. a MAX_RESOLUTION-capped mosaic of a long sweep)
+sample from a coarser level of a 2x box mip pyramid (``build_mips``)
+chosen per tile, so the kernel stays eligible at any minification.
+Level-0 sampling is exact raw bilinear; mip-sampled tiles are the
+standard anti-aliased approximation of it.
 
 Samples whose taps fall outside the window are clamped into it; this is
 safe because such pixels are exactly the ones outside the source image,
@@ -83,34 +86,51 @@ def _project(xs, ys, p, w, h):
     return x_pr, y_pr, invalid
 
 
+def _level_dims(img_shape: Tuple[int, int], lvl: int):
+    """(true, padded) dims of mip level ``lvl`` (ceil-halved, then aligned)."""
+    h, w = img_shape
+    hl = -(-h // (1 << lvl))
+    wl = -(-w // (1 << lvl))
+    return (hl, wl), ((-(-hl // 8)) * 8, (-(-wl // 128)) * 128)
+
+
 def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
                  resolution: np.ndarray, range_min: np.ndarray,
                  img_shape: Tuple[int, int], ph: int, pw: int):
-    """Per-tile source-window origins + eligibility (host, numpy).
+    """Per-tile source windows with mip-level selection (host, numpy).
 
-    Returns ``(origins (N, nty, ntx, 2) int32 [y, x], eligible, win_y,
-    win_x)`` where win_y/win_x are the static window dims (rounded to TPU
-    tiling, capped by the image and MAX_WIN_*).
+    Returns ``(origins (N, nty, ntx, 3) int32 [y, x, level], eligible,
+    win_y, win_x, n_levels)``. Each output tile samples from the coarsest-
+    necessary level of a 2x box mip pyramid so that its source window fits
+    the static (win_y, win_x) VMEM box even under heavy minification —
+    the MAX_RESOLUTION-capped regime the reference defaults to
+    (stitcher.py:17,153-155), where a full-resolution window cannot fit.
+    Level 0 windows reproduce the exact bilinear semantics; minified
+    tiles sample bilinearly within their level (standard mip rendering,
+    which *reduces* the aliasing the reference's raw bilinear exhibits).
 
-    ``img_shape`` is the TRUE (h, w); window placement is planned against
-    the (8, 128)-aligned padded dims (``pad_to_tiling``) so unaligned
-    images keep their last rows/columns coverable — the caller must pass
-    the edge-padded stack to ``pallas_backward_warp``.
+    ``img_shape`` is the TRUE (h, w); windows are planned against each
+    level's (8, 128)-aligned padded dims — the caller builds the matching
+    pyramid with ``build_mips``.
     """
     h, w = img_shape
-    hp, wp = (-(-h // 8)) * 8, (-(-w // 128)) * 128   # padded dims
     n = projs.shape[0]
     nty = -(-ph // TILE_Y)
     ntx = -(-pw // TILE_X)
+
+    # max level-0 extent that still fits the caps after alignment slack
+    budget_y = MAX_WIN_Y - 2 * 8
+    budget_x = MAX_WIN_X - 2 * 128
 
     # project a coarse grid of tile-corner coordinates per region
     ys = np.arange(nty + 1) * TILE_Y
     xs = np.arange(ntx + 1) * TILE_X
     gy, gx = np.meshgrid(ys, xs, indexing="ij")          # (nty+1, ntx+1)
 
-    origins = np.zeros((n, nty, ntx, 2), np.int32)
-    need_y = need_x = 1
+    origins = np.zeros((n, nty, ntx, 3), np.int32)
     exts = []
+    max_lvl = 0
+    need = {}
     for k in range(n):
         mx = (gx + bottoms[k, 0]) * resolution[0] + range_min[0]
         my = (gy + bottoms[k, 1]) * resolution[1] + range_min[1]
@@ -130,41 +150,57 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
                 cpy = py[i:i + 2, j:j + 2]
                 cval = valid[i:i + 2, j:j + 2]
                 if not cval.any():
-                    origins[k, i, j] = (0, 0)
+                    origins[k, i, j] = (0, 0, 0)
                     continue
-                x0 = np.floor(cpx[cval].min()) - MARGIN
-                x1 = np.ceil(cpx[cval].max()) + MARGIN
-                y0 = np.floor(cpy[cval].min()) - MARGIN
-                y1 = np.ceil(cpy[cval].max()) + MARGIN
-                need_y = max(need_y, int(y1 - y0))
-                need_x = max(need_x, int(x1 - x0))
-                exts.append((k, i, j, y0, x0))
+                x0 = float(np.floor(cpx[cval].min()))
+                x1 = float(np.ceil(cpx[cval].max()))
+                y0 = float(np.floor(cpy[cval].min()))
+                y1 = float(np.ceil(cpy[cval].max()))
+                # coarsest-necessary mip level for this tile
+                lvl = 0
+                while ((y1 - y0) / (1 << lvl) + 2 * MARGIN > budget_y
+                       or (x1 - x0) / (1 << lvl) + 2 * MARGIN > budget_x):
+                    lvl += 1
+                max_lvl = max(max_lvl, lvl)
+                sy0 = np.floor((y0 + 0.5) / (1 << lvl) - 0.5) - MARGIN
+                sx0 = np.floor((x0 + 0.5) / (1 << lvl) - 0.5) - MARGIN
+                sy1 = np.ceil((y1 + 0.5) / (1 << lvl) - 0.5) + MARGIN
+                sx1 = np.ceil((x1 + 0.5) / (1 << lvl) - 0.5) + MARGIN
+                ny, nx = need.get(lvl, (1, 1))
+                need[lvl] = (max(ny, int(sy1 - sy0)),
+                             max(nx, int(sx1 - sx0)))
+                exts.append((k, i, j, sy0, sx0, lvl))
 
     def round_up(v, m):
         return -(-v // m) * m
 
-    # Window origins must land on (8, 128) tiling boundaries for the HBM
-    # DMA slice, so round origins down and grow the window by one tile of
-    # slack; the window must never extend past the PADDED image (unaligned
-    # trailing rows/cols stay coverable because the caller edge-pads).
-    win_y = min(round_up(need_y, 8) + 8, hp)
-    win_x = min(round_up(need_x, 128) + 128, wp)
-    ok = (win_y >= min(need_y + 8, hp) and win_x >= min(need_x + 128, wp)
-          and win_y <= MAX_WIN_Y and win_x <= MAX_WIN_X)
-    max_oy = hp - win_y
-    max_ox = wp - win_x
-    for k, i, j, y0, x0 in exts:
+    # one static window shape across all tiles/levels: sized by the worst
+    # per-level need, grown by one tile of alignment slack, clamped to the
+    # largest level-padded dims it must cover
+    need_y = max((v[0] for v in need.values()), default=1)
+    need_x = max((v[1] for v in need.values()), default=1)
+    _, (hp0, wp0) = _level_dims((h, w), 0)
+    win_y = min(round_up(need_y, 8) + 8, hp0)
+    win_x = min(round_up(need_x, 128) + 128, wp0)
+    ok = win_y <= MAX_WIN_Y and win_x <= MAX_WIN_X
+    for k, i, j, y0, x0, lvl in exts:
+        _, (hpl, wpl) = _level_dims((h, w), lvl)
+        max_oy = max(hpl - win_y, 0)
+        max_ox = max(wpl - win_x, 0)
         oy = (int(np.clip(y0, 0, max_oy)) // 8) * 8
         ox = (int(np.clip(x0, 0, max_ox)) // 128) * 128
-        origins[k, i, j] = (oy, ox)
-    return origins, ok, int(win_y), int(win_x)
+        origins[k, i, j] = (oy, ox, lvl)
+    return origins, ok, int(win_y), int(win_x), max_lvl + 1
 
 
-def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int):
-    """``h``/``w``: TRUE image dims for validity masking (the image buffer
-    itself may be edge-padded to (8, 128) tiling)."""
+def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int,
+                      n_levels: int):
+    """``h``/``w``: TRUE image dims for validity masking (the mip buffers
+    themselves are edge-padded to (8, 128) tiling and to the window)."""
     def _warp_kernel(origin_ref, proj_ref, bottom_ref, res_ref, rmin_ref,
-                     img_ref, out_ref, mask_ref, win, sem):
+                     *rest):
+        mip_refs = rest[:n_levels]
+        out_ref, mask_ref, win, sem = rest[n_levels:]
         r = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
@@ -173,12 +209,19 @@ def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int):
         # (it cannot prove divisibility of runtime values on its own)
         oy = pl.multiple_of(origin_ref[r, ti, tj, 0], 8)
         ox = pl.multiple_of(origin_ref[r, ti, tj, 1], 128)
+        lvl = origin_ref[r, ti, tj, 2]
 
-        # DMA this tile's source window into VMEM
-        dma = pltpu.make_async_copy(
-            img_ref.at[r, :, pl.ds(oy, win_y), pl.ds(ox, win_x)],
-            win, sem)
-        dma.start()
+        # DMA this tile's source window (at its mip level) into VMEM; the
+        # level choice is data-dependent, so guard one DMA per level
+        for l in range(n_levels):
+            @pl.when(lvl == l)
+            def _(l=l):
+                dma = pltpu.make_async_copy(
+                    mip_refs[l].at[r, :, pl.ds(oy, win_y),
+                                   pl.ds(ox, win_x)],
+                    win, sem)
+                dma.start()
+                dma.wait()
 
         p = [proj_ref[r, a, b] for a in range(3) for b in range(3)]
         xs, ys = _tile_coords(bottom_ref[r, 0], bottom_ref[r, 1],
@@ -188,9 +231,15 @@ def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int):
                               (tj * TILE_X).astype(jnp.float32))
         x_pr, y_pr, invalid = _project(xs, ys, p, w, h)
 
-        # window-relative bilinear taps (clamped; see module docstring)
-        px = x_pr - ox.astype(jnp.float32)
-        py = y_pr - oy.astype(jnp.float32)
+        # full-res sample position -> mip-level coordinates (pixel-center
+        # aligned), then window-relative taps (clamped; see docstring).
+        # Scalar select chain instead of exp2: transcendentals are not
+        # available on the scalar core.
+        scale = jnp.float32(1.0)
+        for l in range(1, n_levels):
+            scale = jnp.where(lvl == l, jnp.float32(1.0 / (1 << l)), scale)
+        px = (x_pr + 0.5) * scale - 0.5 - ox.astype(jnp.float32)
+        py = (y_pr + 0.5) * scale - 0.5 - oy.astype(jnp.float32)
         x0 = jnp.floor(px)
         y0 = jnp.floor(py)
         fx2 = px - x0                                   # (TILE_Y, TILE_X)
@@ -198,7 +247,6 @@ def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int):
         x0i = jnp.clip(x0.astype(jnp.int32), 0, win_x - 2)
         y0i = jnp.clip(y0.astype(jnp.int32), 0, win_y - 2)
 
-        dma.wait()
         inv_f = invalid.astype(jnp.float32)
         mask_ref[0] = invalid
 
@@ -233,35 +281,60 @@ def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int):
     return _warp_kernel
 
 
-def pad_to_tiling(imgs_planar: jnp.ndarray) -> jnp.ndarray:
-    """Edge-pad (N, 4, H, W) to (8, 128)-aligned H/W so DMA window origins
-    can cover the trailing rows/columns of unaligned images."""
+def pad_to_tiling(imgs_planar: jnp.ndarray,
+                  min_shape: Tuple[int, int] = (8, 128)) -> jnp.ndarray:
+    """Edge-pad (N, 4, H, W) to (8, 128)-aligned H/W (and at least
+    ``min_shape``) so DMA window origins can cover the trailing
+    rows/columns of unaligned images."""
     h, w = imgs_planar.shape[2:]
-    pad_h = (-h) % 8
-    pad_w = (-w) % 128
-    if pad_h == 0 and pad_w == 0:
+    ht = max((-(-h // 8)) * 8, min_shape[0])
+    wt = max((-(-w // 128)) * 128, min_shape[1])
+    if ht == h and wt == w:
         return imgs_planar
-    return jnp.pad(imgs_planar, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)),
+    return jnp.pad(imgs_planar, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)),
                    mode="edge")
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "win_y", "win_x"))
+def build_mips(imgs_planar: jnp.ndarray, n_levels: int,
+               win_y: int = 8, win_x: int = 128):
+    """2x box mip pyramid of an (N, 4, H, W) stack, each level edge-padded
+    to (8, 128) tiling and to at least the (win_y, win_x) DMA window.
+
+    A 2x2 box average per level keeps minified sampling closest to the
+    reference's raw-bilinear look while bounding each tile's source
+    window; levels are ceil-halved so every source pixel stays covered.
+    """
+    levels = [pad_to_tiling(imgs_planar, (win_y, win_x))]
+    cur = imgs_planar
+    for _ in range(1, n_levels):
+        n, c, h, w = cur.shape
+        # ceil-halve via edge-padding to even dims, then 2x2 average
+        cur = jnp.pad(cur, ((0, 0), (0, 0), (0, h % 2), (0, w % 2)),
+                      mode="edge")
+        cur = 0.25 * (cur[:, :, ::2, ::2] + cur[:, :, 1::2, ::2]
+                      + cur[:, :, ::2, 1::2] + cur[:, :, 1::2, 1::2])
+        levels.append(pad_to_tiling(cur, (win_y, win_x)))
+    return levels
 
 
 @functools.partial(jax.jit,
                    static_argnames=("ph", "pw", "win_y", "win_x",
                                     "img_shape", "interpret"))
-def pallas_backward_warp(imgs_planar, projs, bottoms, resolution, range_min,
+def pallas_backward_warp(mips, projs, bottoms, resolution, range_min,
                          origins, ph: int, pw: int, win_y: int, win_x: int,
                          img_shape: Tuple[int, int] = None,
                          interpret: bool = False):
     """All-region backward warp via the fused Pallas kernel.
 
-    imgs_planar: (N, 4, H, W) float32 RGBA (planar layout so each channel
-    window is a proper (sublane, lane) tile), H/W (8, 128)-aligned — pass
-    through ``pad_to_tiling`` first; ``img_shape``: the TRUE pre-padding
-    (h, w) used for validity masks; origins/win_y/win_x: from
-    ``plan_windows``. Returns (patches (N, ph, pw, 4), invalid (N, ph, pw)).
+    mips: list of (N, 4, Hl, Wl) float32 RGBA mip levels (planar layout so
+    each channel window is a proper (sublane, lane) tile), from
+    ``build_mips``; ``img_shape``: the TRUE level-0 (h, w) used for
+    validity masks; origins/win_y/win_x: from ``plan_windows``.
+    Returns (patches (N, ph, pw, 4), invalid (N, ph, pw)).
     """
-    n = imgs_planar.shape[0]
-    true_h, true_w = img_shape if img_shape else imgs_planar.shape[2:]
+    n = mips[0].shape[0]
+    true_h, true_w = img_shape if img_shape else mips[0].shape[2:]
     nty = -(-ph // TILE_Y)
     ntx = -(-pw // TILE_X)
     php = nty * TILE_Y
@@ -275,8 +348,7 @@ def pallas_backward_warp(imgs_planar, projs, bottoms, resolution, range_min,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # images stay in HBM
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(mips),  # HBM mips
         out_specs=[
             pl.BlockSpec((1, 4, TILE_Y, TILE_X),
                          lambda r, i, j, *_: (r, 0, i, j)),
@@ -290,7 +362,8 @@ def pallas_backward_warp(imgs_planar, projs, bottoms, resolution, range_min,
     )
 
     out, mask = pl.pallas_call(
-        _make_warp_kernel(win_y, win_x, int(true_h), int(true_w)),
+        _make_warp_kernel(win_y, win_x, int(true_h), int(true_w),
+                          len(mips)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, php, pwp), jnp.float32),
@@ -302,11 +375,11 @@ def pallas_backward_warp(imgs_planar, projs, bottoms, resolution, range_min,
       bottoms.astype(jnp.float32),
       resolution.astype(jnp.float32)[None],
       range_min.astype(jnp.float32)[None],
-      imgs_planar)
+      *mips)
 
     patches = jnp.moveaxis(out, 1, -1)[:, :ph, :pw]
     return patches, mask[:, :ph, :pw]
 
 
 __all__ = ["plan_windows", "pallas_backward_warp", "pad_to_tiling",
-           "TILE_Y", "TILE_X", "MAX_WIN_Y", "MAX_WIN_X"]
+           "build_mips", "TILE_Y", "TILE_X", "MAX_WIN_Y", "MAX_WIN_X"]

@@ -382,8 +382,9 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     share one shape (vectorization requirement). ``dev_images``: optional
     device-resident uint8 stack (from ``pipeline.to_device``) to skip the
     upload. ``use_pallas``: None = auto (fused Pallas warp kernel on TPU
-    when every tile's source window fits), True = require, False = never.
-    Returns a uint8 BGR mosaic.
+    when it is exact and fastest, i.e. no minification mip levels
+    needed), True = force the kernel (mip-sampled under minification),
+    False = never. Returns a uint8 BGR mosaic.
     """
     n = len(regions)
     if dev_images is not None and dev_images.shape[0] == n:
@@ -436,21 +437,30 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     patches = invalid = None
     if use_pallas is not False and jax.default_backend() == "tpu":
         from pano360_tpu.ops import pallas_warp as PW
-        origins, ok, win_y, win_x = PW.plan_windows(
+        origins, ok, win_y, win_x, n_levels = PW.plan_windows(
             projs, bottoms, resolution, im_range[0], (h, w), ph, pw)
-        if ok:
-            planar = PW.pad_to_tiling(jnp.moveaxis(imgs_rgba, -1, 1))
+        # Auto policy: the kernel is exact and measured faster than the
+        # XLA gather whenever level-0 windows fit (n_levels == 1). Under
+        # heavy minification it stays ELIGIBLE through mip levels, but
+        # (a) mip sampling is a better-filtered approximation, not the
+        # reference's raw bilinear, and (b) the one-hot sampling matmuls
+        # scale with window area, so the gather path measures faster
+        # there — auto mode keeps exact parity; pass use_pallas=True to
+        # force the anti-aliased mip kernel.
+        if ok and (n_levels == 1 or use_pallas is True):
+            mips = PW.build_mips(jnp.moveaxis(imgs_rgba, -1, 1), n_levels,
+                                 win_y, win_x)
             patches, invalid = PW.pallas_backward_warp(
-                planar, jnp.asarray(projs, jnp.float32),
+                mips, jnp.asarray(projs, jnp.float32),
                 jnp.asarray(bottoms, jnp.int32),
                 jnp.asarray(resolution, jnp.float32),
                 jnp.asarray(im_range[0], jnp.float32),
                 jnp.asarray(origins), ph, pw, win_y, win_x,
                 img_shape=(h, w))
         elif use_pallas is True:
-            LOG.warning("pallas warp requested but tile source extents "
-                        "exceed the window (heavy minification); using the "
-                        "XLA path")
+            LOG.warning("pallas warp requested but a tile source window "
+                        "cannot fit the VMEM caps at any mip level; using "
+                        "the XLA path")
     if patches is None:
         patches, invalid = backward_warp_all(
             imgs_rgba, jnp.asarray(projs, jnp.float32),
