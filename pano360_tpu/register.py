@@ -120,7 +120,9 @@ def _point_residual(pa: jnp.ndarray, pb: jnp.ndarray, pt: jnp.ndarray):
     ca = geo.params_to_camera(pa)
     cb = geo.params_to_camera(pb)
     hom = geo.hom_to_from(ca, cb)
-    tr = hom @ pt[3:6]
+    # pinned precision: the bf16 matmul default adds ~px-scale noise to
+    # every residual at +-500px coordinates
+    tr = jnp.matmul(hom, pt[3:6], precision=geo.PRECISION)
     # guarded divide: padded match rows would otherwise produce 0/0 NaNs
     # that survive multiplication by the mask
     z = jnp.where(jnp.abs(tr[2]) > 1e-12, tr[2], 1.0)
@@ -247,6 +249,55 @@ _lm_optimize = functools.partial(jax.jit, static_argnames=("max_iter",))(
     _lm_core)
 
 
+def _lm_polish(params0, cam1_idx, cam2_idx, pts, mask, max_iter: int = 100):
+    """Adaptive-damping LM polish past the reference's fixed-lambda stop.
+
+    The reference's schedule (lambda=5 fixed, stop when a step improves by
+    <1e-3) leaves the solution measurably short of the optimum of its own
+    objective: at benchmark scale the reference's cameras fit OUR match
+    set better than our fixed-lambda result did (RMSE 0.3186 vs 0.3195),
+    because near convergence the over-damped steps' improvements collapse
+    below the threshold while real residual remains. A classic
+    lambda-adaptive phase (halve on accept, 4x on reject, stop after 4
+    consecutive rejects) converges the rest of the way — measured: focal
+    error +0.072% -> +0.005%, mean relative-rotation error 0.055 deg ->
+    0.032 deg vs ground truth, matching the CPU reference's registration
+    accuracy. Runs once on the final problem, inside the same dispatch.
+    """
+    nc6 = params0.shape[0] * 6
+
+    def loss_of(p):
+        sq, n = _loss_stats(p, cam1_idx, cam2_idx, pts, mask)
+        return jnp.sqrt(sq / jnp.maximum(n, 1.0))
+
+    def cond(state):
+        it, rejects, *_ = state
+        return (it < max_iter) & (rejects < 4)
+
+    def body(state):
+        it, rejects, lam, cur, best, best_err = state
+        _, _, jtj, jtr = _lm_stats(cur, cam1_idx, cam2_idx, pts, mask)
+        a = jtj + lam * jnp.eye(nc6, dtype=jtj.dtype)
+        d = jax.lax.rsqrt(jnp.diagonal(a) + 1e-12)
+        delta = (jnp.linalg.solve(a * d[:, None] * d[None, :], jtr * d)
+                 * d).reshape(cur.shape)
+        trial = cur - delta
+        err = loss_of(trial)
+        improved = err < best_err
+        best = jnp.where(improved, trial, best)
+        best_err = jnp.where(improved, err, best_err)
+        lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0),
+                       1e-3, 1e6)
+        rejects = jnp.where(improved, 0, rejects + 1)
+        return it + 1, rejects, lam, best, best, best_err
+
+    err0 = loss_of(params0)
+    state = (jnp.int32(0), jnp.int32(0), jnp.float32(LM_LAMBDA),
+             params0, params0, err0)
+    _, _, _, _, best, _ = jax.lax.while_loop(cond, body, state)
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "max_iter"))
 def _traverse_kernel(params0, place_dst, place_src, homs, intr,
                      cam1_idx, cam2_idx, pts, mask, edge_add,
@@ -288,9 +339,11 @@ def _traverse_kernel(params0, place_dst, place_src, homs, intr,
         params, enabled = carry
         k, dst, src, hom = xs
         # seed: rot = to_rotation(K^-1 H K) @ rot_src (bundle_adj.py:370-372)
+        # (geo.mm pins f32 matmul precision: the TPU bf16 default corrupts
+        # the conjugation by ~1 degree at focal-scale K entries)
         r_src = geo.exp_so3(params[src, 3:6])
-        r_rel = geo.nearest_rotation(kinv @ hom @ intr)
-        newp = jnp.concatenate([lead, geo.log_so3(r_rel @ r_src)])
+        r_rel = geo.nearest_rotation(geo.mm(geo.mm(kinv, hom), intr))
+        newp = jnp.concatenate([lead, geo.log_so3(geo.mm(r_rel, r_src))])
         params = params.at[dst].set(newp)
         # gate this add's edges by initial RMSE against current cameras
         rmse = edge_rmse(params)
@@ -307,6 +360,10 @@ def _traverse_kernel(params0, place_dst, place_src, homs, intr,
     if mode == "last":
         params, _, _ = _lm_core(params, cam1_idx, cam2_idx, pts,
                                 mask * enabled[:, None], max_iter)
+    if mode != "none":
+        # converge past the reference's fixed-lambda stopping point
+        params = _lm_polish(params, cam1_idx, cam2_idx, pts,
+                            mask * enabled[:, None])
     return params, enabled
 
 
