@@ -46,16 +46,25 @@ def _compact_features(feats: S.SiftFeatures, shapes):
     return kpts, descs
 
 
+def _shape_buckets(imgs: List[np.ndarray]):
+    """Group image indices by (H, W) so each bucket batches one shape."""
+    buckets: Dict[tuple, List[int]] = {}
+    for i, im in enumerate(imgs):
+        buckets.setdefault(im.shape[:2], []).append(i)
+    return buckets
+
+
 def detect_all(imgs: List[np.ndarray], detector: str = "sift",
                max_kpts: int = 4096):
     """Extract keypoints/descriptors for all images (batched on device).
 
     Returns per-image lists of center-relative float32 keypoints and
     descriptors (compact, like the reference's detector closures).
+    Mixed image shapes are supported by batching per shape bucket
+    (features.py:259-265 processes each image independently).
     """
     if not imgs:
         raise ValueError("no images to process (empty directory?)")
-    shapes = [im.shape[:2] for im in imgs]
     if detector == "msop":
         kpts, descs = [], []
         for im in imgs:
@@ -64,14 +73,18 @@ def detect_all(imgs: List[np.ndarray], detector: str = "sift",
             kpts.append((k - cent).astype(np.float32))
             descs.append(d.astype(np.float32))
         return kpts, descs
-    if len(set(shapes)) != 1:
-        raise ValueError("all images must share one shape for batching")
-    gray = np.stack([
-        np.asarray(bgr2gray(jnp.asarray(im.astype(np.float32) / 255.0)))
-        for im in imgs])
     cfg = S.SiftConfig(max_kpts=max_kpts)
-    feats = S.sift_extract(jnp.asarray(gray), cfg)
-    return _compact_features(feats, shapes)
+    kpts = [None] * len(imgs)
+    descs = [None] * len(imgs)
+    for shape, idxs in _shape_buckets(imgs).items():
+        gray = np.stack([
+            np.asarray(bgr2gray(jnp.asarray(
+                imgs[i].astype(np.float32) / 255.0))) for i in idxs])
+        feats = S.sift_extract(jnp.asarray(gray), cfg)
+        ks, ds = _compact_features(feats, [shape] * len(idxs))
+        for j, i in enumerate(idxs):
+            kpts[i], descs[i] = ks[j], ds[j]
+    return kpts, descs
 
 
 def _pad(arr: np.ndarray, cap: int) -> np.ndarray:
@@ -118,15 +131,29 @@ def upload_extract(imgs: List[np.ndarray], max_kpts: int = 4096,
     SiftFeatures batched over all N)``; the list is padded to a multiple
     of the batch size by repeating the last image (one XLA compile) and
     the padding is sliced off on device.
+
+    Mixed image shapes are handled by processing each shape bucket
+    through the same pipeline; the returned stack is then ``None`` (one
+    device array cannot hold mixed shapes — render.stitch pads its own).
     """
     n = len(imgs)
-    if len({im.shape for im in imgs}) != 1:
-        raise ValueError("all images must share one shape for batching")
+    cfg = S.SiftConfig(max_kpts=max_kpts)
+    buckets = _shape_buckets(imgs)
+    if len(buckets) != 1:
+        feat_parts, order = [], []
+        for shape, idxs in buckets.items():
+            _, f = upload_extract([imgs[i] for i in idxs], max_kpts,
+                                  n_batches)
+            feat_parts.append(f)
+            order.extend(idxs)
+        inv = np.argsort(np.asarray(order))
+        feats = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[inv], *feat_parts)
+        return None, feats
     n_batches = max(1, min(n_batches, n))
     bs = -(-n // n_batches)
     n_batches = -(-n // bs)
     padded = list(imgs) + [imgs[-1]] * (n_batches * bs - n)
-    cfg = S.SiftConfig(max_kpts=max_kpts)
 
     dev_batches, feat_batches = [], []
     for b in range(n_batches):
@@ -170,17 +197,17 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
         kpts_host = kpts
         remap = None
     else:
-        if len({im.shape for im in imgs}) != 1:
-            raise ValueError("all images must share one shape for batching")
-        h, w = imgs[0].shape[:2]
         if feats is None:
             if dev_images is not None:
                 cfg = S.SiftConfig(max_kpts=max_kpts)
                 feats = _gray_extract(dev_images, cfg)
             else:
                 _, feats = upload_extract(imgs, max_kpts)
-        cent = jnp.asarray([w / 2, h / 2], jnp.float32)
-        kp_buf = feats.xy - cent
+        # per-image centers: keypoints are center-relative in the cache
+        # format, and shapes may differ across images
+        cents = jnp.asarray([[im.shape[1] / 2, im.shape[0] / 2]
+                             for im in imgs], jnp.float32)
+        kp_buf = feats.xy - cents[:, None, :]
         ds_buf = S.root_sift(feats.desc)
         va_buf = feats.valid
         cap = int(feats.xy.shape[1])

@@ -43,25 +43,51 @@ LOG = logging.getLogger(__name__)
 # Projection extents & resolution (stitcher.py:107-157)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit,
+                   static_argnames=("shape", "projection", "nel"))
 def proj_img_range_border(shape: Tuple[int, int], homs: jnp.ndarray,
-                          projection=geo.SphProj, nel: int = 100):
-    """Projected extent of image borders; batched over (N, 3, 3) homs."""
+                          projection=geo.SphProj, nel: int = 100,
+                          shapes: Optional[jnp.ndarray] = None):
+    """Projected extent of image borders; batched over (N, 3, 3) homs.
+
+    ``shapes``: optional per-image (N, 2) float (h, w) overriding the
+    single ``shape`` when images have mixed sizes.
+    """
     height, width = shape
-    side_x = jnp.linspace(0.0, width, nel)
-    side_y = jnp.linspace(0.0, height, nel)
+    if shapes is None:
+        shapes = jnp.broadcast_to(
+            jnp.asarray([height, width], jnp.float32), (homs.shape[0], 2))
+    frac = jnp.linspace(0.0, 1.0, nel)
     zeros, ones = jnp.zeros(nel), jnp.ones(nel)
-    borders = jnp.concatenate([
-        jnp.stack([zeros, side_y, ones], axis=1),
-        jnp.stack([jnp.full((nel,), float(width)), side_y, ones], axis=1),
-        jnp.stack([side_x, zeros, ones], axis=1),
-        jnp.stack([side_x, jnp.full((nel,), float(height)), ones], axis=1),
-    ]).astype(jnp.float32)
-    borders = borders - jnp.asarray([width / 2, height / 2, 0],
-                                    jnp.float32)
+
+    def borders_of(hw):
+        h, w = hw[0], hw[1]
+        side_x = frac * w
+        side_y = frac * h
+        b = jnp.concatenate([
+            jnp.stack([zeros, side_y, ones], axis=1),
+            jnp.stack([jnp.full((nel,), 1.0) * w, side_y, ones], axis=1),
+            jnp.stack([side_x, zeros, ones], axis=1),
+            jnp.stack([side_x, jnp.full((nel,), 1.0) * h, ones], axis=1),
+        ]).astype(jnp.float32)
+        return b - jnp.stack([w / 2, h / 2, jnp.float32(0.0)])
+
+    borders = jax.vmap(borders_of)(shapes.astype(jnp.float32))  # (N, 4nel, 3)
     pts = projection.hom2proj(
-        jnp.einsum("nij,kj->nki", homs.astype(jnp.float32), borders,
+        jnp.einsum("nij,nkj->nki", homs.astype(jnp.float32), borders,
                    precision=jax.lax.Precision.HIGHEST))
     return jnp.min(pts, axis=1), jnp.max(pts, axis=1)   # (N, 2), (N, 2)
+
+
+def _np_hom2proj(pts: np.ndarray, projection) -> np.ndarray:
+    """Host (numpy) forward projection of a handful of points — a jnp call
+    here costs a full device round trip (~30 ms on relay links) for 4
+    values."""
+    hypot = np.hypot(pts[..., 0], pts[..., 2])
+    theta = np.arctan2(pts[..., 0], pts[..., 2])
+    if projection is geo.CylProj:
+        return np.stack([theta, pts[..., 1] / hypot], axis=-1)
+    return np.stack([theta, np.arctan2(pts[..., 1], hypot)], axis=-1)
 
 
 def proj_img_range_corners(shape: Tuple[int, int], hom: np.ndarray,
@@ -70,7 +96,7 @@ def proj_img_range_corners(shape: Tuple[int, int], hom: np.ndarray,
     height, width = shape
     pts = np.array([[-width / 2, -height / 2, 1], [width / 2, -height / 2, 1],
                     [-width / 2, height / 2, 1], [width / 2, height / 2, 1]])
-    pts = np.asarray(projection.hom2proj(jnp.asarray(pts @ hom.T)))
+    pts = _np_hom2proj(pts @ hom.T, projection)
 
     xmin = min(pts[0, 0], pts[2, 0])
     xmax = max(pts[1, 0], pts[3, 0])
@@ -116,11 +142,26 @@ def hat(size: int) -> jnp.ndarray:
     return 0.5 - jnp.abs(xx / size)
 
 
-def add_weights(imgs: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, 3) BGR [0,1] -> (N, H, W, 4) with hat-product alpha."""
+def add_weights(imgs: jnp.ndarray,
+                shapes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(N, H, W, 3) BGR [0,1] -> (N, H, W, 4) with hat-product alpha.
+
+    ``shapes``: optional per-image (N, 2) true (h, w) when the stack is
+    zero-padded to a common max shape (mixed-size inputs); the hat ramp
+    then spans each image's true extent and is zero over the padding.
+    """
     n, h, w, _ = imgs.shape
-    alpha = hat(h)[:, None] * hat(w)[None, :]
-    alpha = jnp.broadcast_to(alpha, (n, h, w))
+    if shapes is None:
+        alpha = hat(h)[:, None] * hat(w)[None, :]
+        alpha = jnp.broadcast_to(alpha, (n, h, w))
+    else:
+        hs = shapes[:, 0].astype(jnp.float32)[:, None, None]
+        ws = shapes[:, 1].astype(jnp.float32)[:, None, None]
+        yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        hy = jnp.maximum(0.5 - jnp.abs((yy - hs / 2) / hs), 0.0)
+        hx = jnp.maximum(0.5 - jnp.abs((xx - ws / 2) / ws), 0.0)
+        alpha = hy * hx * (yy < hs) * (xx < ws)
     return jnp.concatenate([imgs, alpha[..., None]], axis=-1)
 
 
@@ -140,17 +181,24 @@ def find_gains(overlaps: np.ndarray, sizes: np.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def _pair_overlap_stats(imgs, homs_ij, pair_i, pair_j, height: int,
-                        width: int):
+                        width: int, dims_i=None):
     """Overlap mean intensities for all pairs in one batched warp.
 
     imgs: (N, H, W, 4); homs_ij: (P, 3, 3) mapping j's pixels into i's
-    frame (non-centered); pair_i/pair_j: (P,) indices.
+    frame (non-centered); pair_i/pair_j: (P,) indices; ``dims_i``:
+    optional per-pair (h_i, w_i) true dims restricting the overlap to
+    image i's true region (padded mixed-size stacks).
     Returns (mean_i, mean_j, size) each (P,).
     """
-    def one(hom, ii, jj):
+    yy = jnp.arange(height)[:, None]
+    xx = jnp.arange(width)[None, :]
+
+    def one(hom, ii, jj, di):
         overlap = warp_perspective(imgs[jj], hom, (height, width),
                                    border="constant", cval=0.0)
         mask = overlap[..., 3] != 0
+        if di is not None:
+            mask &= (yy < di[0]) & (xx < di[1])
         cnt = jnp.sum(mask)
         img_i = imgs[ii]
         sum_i = jnp.sum(jnp.where(mask[..., None], img_i[..., :3], 0.0))
@@ -158,26 +206,34 @@ def _pair_overlap_stats(imgs, homs_ij, pair_i, pair_j, height: int,
         denom = jnp.maximum(cnt * 3, 1)
         return sum_i / denom, sum_j / denom, cnt
 
-    return jax.vmap(one)(homs_ij, pair_i, pair_j)
+    if dims_i is None:
+        return jax.vmap(lambda h, a, b: one(h, a, b, None))(
+            homs_ij, pair_i, pair_j)
+    return jax.vmap(one)(homs_ij, pair_i, pair_j, dims_i)
 
 
-def equalize_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray
-                   ) -> jnp.ndarray:
+def equalize_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
+                   shapes: Optional[np.ndarray] = None) -> jnp.ndarray:
     """Equalize exposures over pairwise overlaps (stitcher.py:36-66).
 
-    Returns the gain-corrected (N, H, W, 4) stack.
+    ``shapes``: optional per-image true (h, w) for padded mixed-size
+    stacks. Returns the gain-corrected (N, H, W, 4) stack.
     """
     n = len(regions)
     height, width = imgs_rgba.shape[1:3]
-    tr = np.array([[1, 0, width / 2], [0, 1, height / 2], [0, 0, 1]])
-    inv_tr = np.array([[1, 0, -width / 2], [0, 1, -height / 2], [0, 0, 1]])
-    corners = np.array([[0, 0, 1], [width, 0, 1],
-                        [width, height, 1], [0, height, 1]])
+    if shapes is None:
+        shapes = np.array([[height, width]] * n)
 
     pair_i, pair_j, homs = [], [], []
-    keep = []
     for i in range(n):
+        hi, wi = shapes[i]
+        tr = np.array([[1, 0, wi / 2], [0, 1, hi / 2], [0, 0, 1]])
         for j in range(i + 1, n):
+            hj, wj = shapes[j]
+            inv_tr = np.array([[1, 0, -wj / 2], [0, 1, -hj / 2],
+                               [0, 0, 1]])
+            corners = np.array([[0, 0, 1], [wj, 0, 1],
+                                [wj, hj, 1], [0, hj, 1]])
             hom = tr @ _np_hom_to_from(regions[i], regions[j]) @ inv_tr
             pts = corners @ hom.T
             if np.any(pts[:, 2] < 0):   # behind the screen, skip
@@ -190,7 +246,8 @@ def equalize_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray
     if homs:
         mi, mj, cnt = _pair_overlap_stats(
             imgs_rgba, jnp.asarray(np.stack(homs), jnp.float32),
-            jnp.asarray(pair_i), jnp.asarray(pair_j), height, width)
+            jnp.asarray(pair_i), jnp.asarray(pair_j), height, width,
+            jnp.asarray(shapes[np.asarray(pair_i)], jnp.float32))
         mi, mj, cnt = np.asarray(mi), np.asarray(mj), np.asarray(cnt)
         for k in range(len(homs)):
             i, j = pair_i[k], pair_j[k]
@@ -217,33 +274,40 @@ def _np_hom_to_from(c1: PanoImage, c2: PanoImage) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("ph", "pw", "projection"))
 def backward_warp_all(imgs, projs, bottoms, resolution, range_min,
-                      ph: int, pw: int, projection=geo.SphProj):
+                      ph: int, pw: int, projection=geo.SphProj,
+                      shapes: Optional[jnp.ndarray] = None):
     """Backward-warp every region into its bbox-padded patch.
 
     imgs: (N, H, W, 4); projs: (N, 3, 3) = K R; bottoms: (N, 2) int patch
-    origins in mosaic pixels; resolution/range_min: (2,).
-    Returns (patches (N, ph, pw, 4), invalid_masks (N, ph, pw)).
+    origins in mosaic pixels; resolution/range_min: (2,); ``shapes``:
+    optional per-image true (h, w) when the stack is padded to a common
+    max shape. Returns (patches (N, ph, pw, 4), invalid (N, ph, pw)).
     """
     n, h, w, _ = imgs.shape
+    if shapes is None:
+        shapes = jnp.broadcast_to(jnp.asarray([h, w], jnp.float32), (n, 2))
 
     y_i, x_i = jnp.meshgrid(jnp.arange(ph, dtype=jnp.float32),
                             jnp.arange(pw, dtype=jnp.float32), indexing="ij")
 
-    def one(img, proj, bottom):
+    def one(img, proj, bottom, hw):
+        hh, ww = hw[0], hw[1]
         xs = (x_i + bottom[0]) * resolution[0] + range_min[0]
         ys = (y_i + bottom[1]) * resolution[1] + range_min[1]
         rays = projection.proj2hom(jnp.stack([xs, ys], axis=-1))
         xx = jnp.einsum("ij,hwj->hwi", proj.astype(jnp.float32), rays,
                         precision=jax.lax.Precision.HIGHEST)
         mask = xx[..., 2] < 0   # behind the screen
-        x_pr = xx[..., 0] / xx[..., 2] + w / 2
-        y_pr = xx[..., 1] / xx[..., 2] + h / 2
-        mask |= ((x_pr < 0) | (x_pr > w - 1) | (y_pr < 0) | (y_pr > h - 1))
+        x_pr = xx[..., 0] / xx[..., 2] + ww / 2
+        y_pr = xx[..., 1] / xx[..., 2] + hh / 2
+        mask |= ((x_pr < 0) | (x_pr > ww - 1)
+                 | (y_pr < 0) | (y_pr > hh - 1))
         warped = remap_bilinear(img, x_pr, y_pr, border="reflect")
         warped = warped.at[..., 3].set(warped[..., 3] * (~mask))
         return warped, mask
 
-    return jax.vmap(one)(imgs, projs, bottoms.astype(jnp.float32))
+    return jax.vmap(one)(imgs, projs, bottoms.astype(jnp.float32),
+                         shapes.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -378,8 +442,9 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
            use_pallas: Optional[bool] = None) -> np.ndarray:
     """Full render: ranges -> weights -> (equalize) -> warp -> blend -> crop.
 
-    ``regions[k].img``: uint8 BGR or float BGR in [0, 1]; all images must
-    share one shape (vectorization requirement). ``dev_images``: optional
+    ``regions[k].img``: uint8 BGR or float BGR in [0, 1]; mixed image
+    shapes are zero-padded to the max shape with per-image true dims
+    masking the padding. ``dev_images``: optional
     device-resident uint8 stack (from ``pipeline.to_device``) to skip the
     upload. ``use_pallas``: None = auto (fused Pallas warp kernel on TPU
     when it is exact and fastest, i.e. no minification mip levels
@@ -387,26 +452,42 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     False = never. Returns a uint8 BGR mosaic.
     """
     n = len(regions)
+    shapes = np.array([r.img.shape[:2] for r in regions])
+    uniform = bool((shapes == shapes[0]).all())
+    h, w = int(shapes[:, 0].max()), int(shapes[:, 1].max())
     if dev_images is not None and dev_images.shape[0] == n:
         dev_imgs = dev_images.astype(jnp.float32) / 255.0
-        h, w = int(dev_images.shape[1]), int(dev_images.shape[2])
-    else:
+    elif uniform:
         imgs = np.stack([r.img for r in regions])
-        h, w = imgs.shape[1:3]
         # upload in the source dtype (uint8 is 4x smaller), convert on device
         dev_imgs = jnp.asarray(imgs)
         if imgs.dtype == np.uint8:
             dev_imgs = dev_imgs.astype(jnp.float32) / 255.0
+    else:
+        # mixed shapes (features.py:259-265 handles images independently):
+        # zero-pad to the max shape; per-image true dims mask the padding
+        # in the weights, warp bounds and equalization
+        dtype = regions[0].img.dtype
+        stack = np.zeros((n, h, w, 3), dtype)
+        for k, r in enumerate(regions):
+            hk, wk = r.img.shape[:2]
+            stack[k, :hk, :wk] = r.img
+        dev_imgs = jnp.asarray(stack)
+        if dtype == np.uint8:
+            dev_imgs = dev_imgs.astype(jnp.float32) / 255.0
 
+    shapes_dev = None if uniform else jnp.asarray(shapes, jnp.float32)
     homs = np.stack([r.hom() for r in regions])
-    rmin, rmax = proj_img_range_border((h, w), jnp.asarray(homs))
+    rmin, rmax = proj_img_range_border((h, w), jnp.asarray(homs),
+                                       shapes=shapes_dev)
     rmin, rmax = np.asarray(rmin, np.float64), np.asarray(rmax, np.float64)
     for k, reg in enumerate(regions):
         reg.range = (rmin[k], rmax[k])
 
-    imgs_rgba = add_weights(dev_imgs.astype(jnp.float32))
+    imgs_rgba = add_weights(dev_imgs.astype(jnp.float32), shapes_dev)
     if equalize:
-        imgs_rgba = equalize_gains(regions, imgs_rgba)
+        imgs_rgba = equalize_gains(regions, imgs_rgba,
+                                   None if uniform else shapes)
 
     resolution, im_range = estimate_resolution(regions, max_resolution)
     target = (im_range[1] - im_range[0]) / resolution
@@ -435,7 +516,8 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
 
     projs = np.stack([r.proj() for r in regions])
     patches = invalid = None
-    if use_pallas is not False and jax.default_backend() == "tpu":
+    if (use_pallas is not False and uniform
+            and jax.default_backend() == "tpu"):
         from pano360_tpu.ops import pallas_warp as PW
         origins, ok, win_y, win_x, n_levels = PW.plan_windows(
             projs, bottoms, resolution, im_range[0], (h, w), ph, pw)
@@ -466,7 +548,8 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             imgs_rgba, jnp.asarray(projs, jnp.float32),
             jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
-            jnp.asarray(im_range[0], jnp.float32), ph, pw)
+            jnp.asarray(im_range[0], jnp.float32), ph, pw,
+            shapes=shapes_dev)
 
     mosaic = BLENDERS[blender](patches, invalid,
                                jnp.asarray(bottoms, jnp.int32), shape)

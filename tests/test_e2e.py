@@ -5,6 +5,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
+
 from pano360_tpu import synth
 from pano360_tpu.cli import build_parser, run
 
@@ -86,3 +88,46 @@ class TestEndToEnd:
         assert args.ba == "incr"
         assert args.blend == "multiband"
         assert not args.equalize and not args.crop
+
+    def test_mixed_shape_pipeline(self, tmp_path):
+        """Mixed image sizes stitch end-to-end (features.py:259-265
+        processes images independently; we batch per shape bucket)."""
+        tex = synth.world_texture(seed=3)
+        focal = 240 / (2 * np.tan(np.radians(55) / 2))
+        fov = 2 * np.arctan(240 / (2 * focal))
+        step = fov * 0.5
+        shapes = [(180, 240), (220, 200), (180, 240), (220, 200)]
+        imgs = []
+        for i, shp in enumerate(shapes):
+            rot = synth._exp_so3_np(np.array([0.0, (i - 1.5) * step, 0.0]))
+            imgs.append(synth.render_view(tex, rot, focal, shp))
+        ds = tmp_path / "views"
+        synth.write_dataset(str(ds), imgs)
+
+        args = build_parser().parse_args(
+            [str(ds), "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", str(tmp_path)])
+        mosaic = run(args)
+        assert mosaic.dtype == np.uint8 and mosaic.ndim == 3
+        with open(tmp_path / "ba_views_s1.0.pkl", "rb") as fid:
+            regions = pickle.load(fid)
+        assert len(regions) == 4, "all mixed-shape views must register"
+        est_f = regions[0].intr[0, 0]
+        assert abs(est_f - focal) / focal < 0.05
+
+    def test_profile_and_trace_flags(self, dataset, capsys, tmp_path):
+        """--profile prints the cProfile + stage report; --trace-dir
+        writes a jax.profiler trace (both consume the warm caches)."""
+        ds, root, *_ = dataset
+        trace = tmp_path / "trace"
+        args = build_parser().parse_args(
+            [ds, "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", root, "--profile", "--trace-dir", str(trace)])
+        from pano360_tpu.cli import main
+        main([ds, "-s", "1", "--ba", "incr", "-b", "linear",
+              "--cache-dir", root, "--profile", "--trace-dir", str(trace)])
+        out = capsys.readouterr().out
+        assert "cumulative" in out          # cProfile table
+        assert "Built mosaic" in out        # stage report
+        assert "total:" in out
+        assert any(trace.rglob("*")), "trace directory is empty"
