@@ -11,8 +11,9 @@ the ops library; the SSC binary search is inherently sequential host logic
 """
 from __future__ import annotations
 
+import functools
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax
@@ -21,7 +22,6 @@ import jax.numpy as jnp
 from pano360_tpu.ops.filters import (gaussian_blur, feature_ksize,
                                      harris_response, max_pool3x3, pyr_down,
                                      sobel)
-from pano360_tpu.ops.warp import warp_perspective
 from pano360_tpu.ops.color import bgr2gray
 
 DSIZE = 8          # descriptor size (features.py:16)
@@ -44,6 +44,11 @@ def ssc(keypoints: np.ndarray, im_size: Tuple[int, int], n_points: int,
     n_kpts = len(keypoints)
     if n_kpts <= n_points:
         return np.arange(n_kpts)
+
+    from pano360_tpu.native import ssc_select
+    sel = ssc_select(keypoints, im_size, n_points, tol)
+    if sel is not None:
+        return sel
 
     # upper bound on the radius from the closed-form solution of
     # (rows+w)(cols+w) / (w/2)^2 = n_points
@@ -94,32 +99,73 @@ def ssc(keypoints: np.ndarray, im_size: Tuple[int, int], n_points: int,
 # Oriented patch descriptors
 # ---------------------------------------------------------------------------
 
-def _rot_mat_np(theta: float, yx: np.ndarray) -> np.ndarray:
-    """2-D rotation+translation matrix (features.py:102-106 convention)."""
-    sin, cos = np.sin(theta), np.cos(theta)
-    return np.array([[cos, sin, yx[1]], [-sin, cos, yx[0]], [0, 0, 1]],
-                    np.float32)
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _msop_level(gray: jnp.ndarray, cap: int):
+    """One pyramid level, device-fused: Harris + 3x3 maxima + top-``cap``
+    candidates with their gradient orientations, plus the blurred map and
+    the next level.
 
-
-@jax.jit
-def _msop_maps(gray: jnp.ndarray):
-    """Gradient-orientation and blurred maps for one pyramid level."""
+    Returns ``(score, rows, cols, theta, blurred, next_gray)`` with the
+    candidate arrays (cap,) sorted by descending Harris response — the
+    order SSC consumes. One host sync per level instead of full-map
+    transfers + a python argsort.
+    """
+    h, w = gray.shape
     gx = gaussian_blur(sobel(gray, 1, 0), 1.0, feature_ksize(1.0))
     gy = gaussian_blur(sobel(gray, 0, 1), 1.0, feature_ksize(1.0))
     blurred = gaussian_blur(gray, 2.0, feature_ksize(2.0))
     hrs = harris_response(gray)
     locmax = max_pool3x3(hrs) == hrs
-    return gx, gy, blurred, hrs, locmax
+
+    score = jnp.where(locmax, hrs, -jnp.inf).reshape(-1)
+    cap = min(cap, h * w)
+    vals, idx = jax.lax.top_k(score, cap)
+    rows = idx // w
+    cols = idx % w
+    theta = jnp.arctan2(gx.reshape(-1)[idx], gy.reshape(-1)[idx])
+    return vals, rows, cols, theta, blurred, pyr_down(gray)
 
 
 @jax.jit
-def _patch_descriptors(blurred: jnp.ndarray, rmats: jnp.ndarray):
-    """8x8 oriented patches via batched perspective warps -> (N, 64)."""
-    def one(rm):
-        tile = warp_perspective(blurred, rm, (DSIZE, DSIZE),
-                                border="constant")
-        return tile.reshape(-1)
-    desc = jax.vmap(one)(rmats)
+def _oriented_descriptors(blurred: jnp.ndarray, rows: jnp.ndarray,
+                          cols: jnp.ndarray, thetas: jnp.ndarray):
+    """8x8 oriented patch descriptors for a batch of keypoints -> (N, 64).
+
+    The reference (features.py:117-131) builds a 3x3 matrix per keypoint
+    in a python loop and runs one cv2.warpPerspective per keypoint; here
+    the warp's sampling positions are computed in closed form for ALL
+    keypoints at once — patch pixel (u, v) samples the blurred image at
+    ``center + R(theta)^T (u - 4, v - 4)`` — and fetched with a single
+    batched bilinear gather.
+    """
+    h, w = blurred.shape
+    g = jnp.arange(DSIZE, dtype=jnp.float32) - DSIZE / 2
+    gu, gv = jnp.meshgrid(g, g, indexing="xy")            # (8, 8)
+    sin = jnp.sin(thetas)[:, None, None]
+    cos = jnp.cos(thetas)[:, None, None]
+    # closed-form inverse of the reference's warp chain: with
+    # T = rot_mat(theta, (r, c)) (features.py:102-106) and the +DSIZE/2
+    # output shift, patch pixel (x, y) samples T @ (x - 4, y - 4, 1), i.e.
+    # x_src = c + cos*u + sin*v, y_src = r - sin*u + cos*v
+    sx = cols.astype(jnp.float32)[:, None, None] + cos * gu + sin * gv
+    sy = rows.astype(jnp.float32)[:, None, None] - sin * gu + cos * gv
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    inb = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    i00 = blurred[y0i, x0i]
+    i01 = blurred[y0i, x0i + 1]
+    i10 = blurred[y0i + 1, x0i]
+    i11 = blurred[y0i + 1, x0i + 1]
+    tile = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
+            + (i10 * (1 - fx) + i11 * fx) * fy)
+    tile = jnp.where(inb, tile, 0.0)                      # constant border
+
+    desc = tile.reshape(tile.shape[0], -1)
     mean = jnp.mean(desc, axis=1, keepdims=True)
     std = jnp.std(desc, axis=1, keepdims=True)
     return (desc - mean) / (std + 1e-8)
@@ -130,38 +176,44 @@ def msop_extract_host(img_bgr: np.ndarray,
     """Extract MSOP keypoints + 64-d descriptors for one image.
 
     Returns ``(kpts (N, 2) float32 full-res (x, y), desc (N, 64))``.
+    Device work per level is two dispatches (candidate top-k, batched
+    descriptors); only SSC — inherently sequential greedy suppression —
+    runs on host, over the compact candidate list.
     """
-    gray = np.asarray(bgr2gray(
-        jnp.asarray(img_bgr.astype(np.float32))))  # 0..255 scale
+    gray = bgr2gray(jnp.asarray(img_bgr.astype(np.float32)))  # 0..255
     points, descs = [], []
 
-    cur = jnp.asarray(gray)
+    cur = gray
     for lvl, maxf in enumerate(max_feat):
-        gx, gy, blurred, hrs, locmax = _msop_maps(cur)
-        hrs_np = np.asarray(hrs)
-        rows, cols = np.where(np.asarray(locmax))
-        order = np.argsort(hrs_np[rows, cols])[-maxf * 20:]
-        rows, cols = rows[order][::-1], cols[order][::-1]  # best first
+        h, w = cur.shape
+        vals, rows_d, cols_d, theta_d, blurred, nxt = _msop_level(
+            cur, maxf * 20)
+        vals = np.asarray(vals)
+        rows, cols = np.asarray(rows_d), np.asarray(cols_d)
+        thetas = np.asarray(theta_d)
+        valid = np.isfinite(vals)
+        rows, cols, thetas = rows[valid], cols[valid], thetas[valid]
 
         sel = ssc(np.stack([cols, rows], axis=1).astype(np.float32),
-                  hrs_np.shape[::-1], maxf)
-        rows, cols = rows[sel], cols[sel]
+                  (w, h), maxf)
+        rows, cols, thetas = rows[sel], cols[sel], thetas[sel]
 
-        gx_np, gy_np = np.asarray(gx), np.asarray(gy)
-        thetas = np.arctan2(gx_np[rows, cols], gy_np[rows, cols])
-        scale = 2.0 ** lvl
-        rmats = []
-        for r, c, th in zip(rows, cols, thetas):
-            rm = np.linalg.inv(_rot_mat_np(th, np.array([r, c])))
-            rm[:2, 2] += DSIZE / 2
-            rmats.append(rm)
-        if rmats:
-            desc = np.asarray(_patch_descriptors(
-                blurred, jnp.asarray(np.stack(rmats), jnp.float32)))
+        if len(rows):
+            # pad to power-of-two buckets: keypoint counts differ per
+            # image and level, and every distinct count would otherwise
+            # recompile the descriptor program
+            cap = max(64, 1 << (len(rows) - 1).bit_length())
+            pad = cap - len(rows)
+            desc = np.asarray(_oriented_descriptors(
+                blurred,
+                jnp.asarray(np.pad(rows, (0, pad))),
+                jnp.asarray(np.pad(cols, (0, pad))),
+                jnp.asarray(np.pad(thetas, (0, pad)))))[:len(rows)]
             descs.append(desc)
+            scale = 2.0 ** lvl
             points.append(np.stack([cols * scale, rows * scale],
                                    axis=1).astype(np.float32))
-        cur = pyr_down(cur)
+        cur = nxt
 
     if not points:
         return np.zeros((0, 2), np.float32), np.zeros((0, 64), np.float32)

@@ -43,6 +43,11 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.seam_flood.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int8)]
+        lib.ssc_select.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.ssc_select.restype = ctypes.c_int
         _lib = lib
     except (subprocess.CalledProcessError, OSError) as exc:
         LOG.warning("native build failed (%s); using Python fallback", exc)
@@ -134,4 +139,27 @@ def _seam_flood_py(diff: np.ndarray, border: int) -> np.ndarray:
     return mask.astype(np.int8)
 
 
-__all__ = ["largest_rectangle", "crop_mosaic", "seam_flood"]
+def ssc_select(kpts_xy: np.ndarray, im_size, n_points: int,
+               tol: float = 0.1):
+    """SSC adaptive NMS over score-ordered keypoints (C++ fast path).
+
+    Returns selected indices, or None when the native library is
+    unavailable (caller falls back to the Python implementation).
+    The greedy cover pass is a sequential loop over up to ~100k
+    candidates per MSOP pyramid level — the dominant host cost of the
+    MSOP detector when run in Python.
+    """
+    lib = _build()
+    if lib is None:
+        return None
+    kp = np.ascontiguousarray(kpts_xy, np.float32)
+    out = np.empty(len(kp), np.int32)
+    cols, rows = im_size
+    n = lib.ssc_select(
+        kp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(kp),
+        int(cols), int(rows), int(n_points), float(tol),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out[:n].copy()
+
+
+__all__ = ["largest_rectangle", "crop_mosaic", "seam_flood", "ssc_select"]

@@ -8,6 +8,8 @@
 //
 // Build: g++ -O3 -shared -fPIC crop.cpp -o libpanonative.so
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <queue>
 #include <tuple>
@@ -101,6 +103,72 @@ void seam_flood(const float* diff, int rows, int cols, int border,
                 heap.emplace(diff[nidx], -(seq++), clr, nx, ny);
         }
     }
+}
+
+// SSC adaptive non-maximal suppression (Bailo et al. 2018; the
+// features.py:28-99 algorithm). Binary search over the suppression
+// radius; each trial greedily keeps score-ordered keypoints whose grid
+// cell is uncovered. The greedy pass is a host-sequential loop over up
+// to ~100k candidates per pyramid level — the one MSOP stage that
+// cannot batch onto the device. kpts_xy: (n, 2) float (x, y), score-
+// ordered best first. Writes selected indices to out_idx, returns count.
+int ssc_select(const float* kpts_xy, int n_kpts, int cols, int rows,
+               int n_points, float tol, int* out_idx) {
+    if (n_kpts <= n_points) {
+        for (int i = 0; i < n_kpts; ++i) out_idx[i] = i;
+        return n_kpts;
+    }
+    double exp1 = rows + cols + 2.0 * n_points;
+    double exp2 = 4.0 * cols + 4.0 * n_points + 4.0 * (double)rows * n_points
+                  + (double)rows * rows + (double)cols * cols
+                  - 2.0 * (double)rows * cols
+                  + 4.0 * (double)rows * cols * n_points;
+    double exp3 = std::sqrt(std::max(exp2, 0.0));
+    double exp4 = std::max(n_points - 1, 1);
+    double high = std::max(-std::round((exp1 + exp3) / exp4),
+                           -std::round((exp1 - exp3) / exp4));
+    double low = std::floor(std::sqrt((double)n_kpts / n_points));
+
+    long k_min = std::lround(n_points - n_points * (double)tol);
+    long k_max = std::lround(n_points + n_points * (double)tol);
+
+    double prev_width = -1.0;
+    int count = std::min(n_kpts, n_points);
+    for (int i = 0; i < count; ++i) out_idx[i] = i;
+
+    std::vector<char> covered;
+    std::vector<int> sel;
+    while (true) {
+        double width = low + (high - low) / 2.0;
+        if (width == prev_width || low > high) break;
+        double cgr = width / 2.0;
+        int n_cc = (int)(cols / cgr);
+        int n_cr = (int)(rows / cgr);
+        covered.assign((size_t)(n_cr + 1) * (n_cc + 1), 0);
+        sel.clear();
+        int span = (int)(width / cgr);
+        for (int i = 0; i < n_kpts; ++i) {
+            int row = (int)(kpts_xy[2 * i + 1] / cgr);
+            int col = (int)(kpts_xy[2 * i] / cgr);
+            if (!covered[(size_t)row * (n_cc + 1) + col]) {
+                sel.push_back(i);
+                int r0 = std::max(row - span, 0);
+                int r1 = std::min(row + span, n_cr);
+                int c0 = std::max(col - span, 0);
+                int c1 = std::min(col + span, n_cc);
+                for (int r = r0; r <= r1; ++r)
+                    for (int c = c0; c <= c1; ++c)
+                        covered[(size_t)r * (n_cc + 1) + c] = 1;
+            }
+        }
+        count = (int)sel.size();
+        for (int i = 0; i < count; ++i) out_idx[i] = sel[i];
+        if ((long)sel.size() >= k_min && (long)sel.size() <= k_max) break;
+        if ((long)sel.size() < k_min) high = width - 1.0;
+        else low = width + 1.0;
+        prev_width = width;
+    }
+    return count;
 }
 
 }  // extern "C"
