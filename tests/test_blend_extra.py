@@ -3,6 +3,8 @@ import numpy as np
 import numpy.testing as npt
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
+
 import refcompat  # noqa: F401
 import blend as ref_blend
 import bundle_adj as ref_ba

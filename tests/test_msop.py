@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
+
 from pano360_tpu import synth
 from pano360_tpu.features.msop import msop_extract_host, ssc
 from pano360_tpu.cli import build_parser, run

@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
+
 from pano360_tpu import render, synth
 from pano360_tpu.register import PanoImage
 from pano360_tpu.ops import pallas_warp as PW

@@ -11,8 +11,11 @@ from pano360_tpu.features import sift as S
 from pano360_tpu.parallel import (make_mesh, sharded_extract,
                                   distributed_lm_stats)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+    pytest.mark.slow,   # compile-heavy; fast subset: -m 'not slow'
+]
 
 CFG = S.SiftConfig(max_kpts=128, upscale=False)
 

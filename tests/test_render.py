@@ -81,6 +81,7 @@ class TestUnits:
     ("linear", ref_st.linear_blend),
     ("multiband", ref_st.multiband_blend),
 ])
+@pytest.mark.slow
 class TestEndToEndParity:
     def test_mosaic_psnr(self, blender, ref_blender):
         """Full render vs the CPU reference on identical regions: >=35 dB.
@@ -97,6 +98,7 @@ class TestEndToEndParity:
         assert p >= 35.0, f"PSNR {p:.1f} dB"
 
 
+@pytest.mark.slow
 class TestEqualize:
     def test_recovers_gains(self):
         """Equalizing gain-perturbed views recovers the unperturbed mosaic

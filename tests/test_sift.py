@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
+
 from pano360_tpu import synth
 from pano360_tpu import match as pm
 from pano360_tpu.features import sift as S

@@ -5,6 +5,10 @@ camera model well enough that the *reference* CPU pipeline (SIFT + FLANN +
 RANSAC + focal decomposition) can register them — that makes the generator a
 valid stand-in for the missing CMU/UAV datasets in baselines and goldens.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
+
 import numpy as np
 import numpy.testing as npt
 
