@@ -298,10 +298,12 @@ def _lm_polish(params0, cam1_idx, cam2_idx, pts, mask, max_iter: int = 100):
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "max_iter"))
-def _traverse_kernel(params0, place_dst, place_src, homs, intr,
-                     cam1_idx, cam2_idx, pts, mask, edge_add,
-                     mode: str, max_iter: int = LM_MAX_ITER):
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "use_straighten", "max_iter"))
+def _traverse_kernel(params0, seed_idx, place_dst, place_src, homs,
+                     homs_all, placed_idx, cam1_idx, cam2_idx, pts, mask,
+                     edge_add, mode: str, use_straighten: bool = True,
+                     max_iter: int = LM_MAX_ITER):
     """The ENTIRE incremental registration schedule in one dispatch.
 
     The reference's traverse (bundle_adj.py:348-395) interleaves host graph
@@ -314,16 +316,25 @@ def _traverse_kernel(params0, place_dst, place_src, homs, intr,
     bundle_adj.py:15,304), and the per-add LM optimize — runs as one
     ``lax.scan`` over the precomputed schedule.
 
-    params0: (C, 6) with the seed camera's row set; place_dst/place_src:
-    (A,) int32 camera indices per add; homs: (A, 3, 3) pair homographies
-    (src <- dst pixels); intr: (3, 3) shared K. Edge tensors as in
-    ``_lm_stats``; ``edge_add[e]`` = the add index that gates edge e.
-    No-op padding adds must route place_dst/place_src to a scratch camera
-    row. Returns (params, enabled) after the full schedule.
+    params0: (C, 6) with the seed camera's rotation row zeroed (its
+    focal triple is overwritten here); place_dst/place_src: (A,) int32
+    camera indices per add; homs: (A, 3, 3) pair homographies (src <-
+    dst pixels); homs_all: (P, 3, 3) every pair homography — the shared
+    K is the median Szeliski-Shum focal over them (bundle_adj.py:354),
+    computed on-device so traverse pays no extra round trip;
+    placed_idx: indices of the cameras the walk places (host-known),
+    used for the final straightening (bundle_adj.py:390-393). Edge
+    tensors as in ``_lm_stats``; ``edge_add[e]`` = the add index that
+    gates edge e. No-op padding adds must route place_dst/place_src to
+    a scratch camera row. Returns (params, enabled, focal).
     """
+    focal = _median_focal(homs_all)
+    intr = geo.intrinsics(focal).astype(params0.dtype)
     kinv = geo.inv3x3(intr)
     lead = jnp.stack([intr[0, 0], intr[0, 2], intr[1, 2]]
                      ).astype(params0.dtype)
+    # seed camera: identity rotation with the shared focal
+    params0 = params0.at[seed_idx, :3].set(lead)
 
     def edge_rmse(params):
         pa = params[cam1_idx]
@@ -364,7 +375,17 @@ def _traverse_kernel(params0, place_dst, place_src, homs, intr,
         # converge past the reference's fixed-lambda stopping point
         params = _lm_polish(params, cam1_idx, cam2_idx, pts,
                             mask * enabled[:, None])
-    return params, enabled
+    if use_straighten:
+        rots = geo.exp_so3(params[placed_idx, 3:6])
+        rads = geo.log_so3(geo.straighten(rots))
+        params = params.at[placed_idx, 3:6].set(rads.astype(params.dtype))
+    return params, enabled, focal
+
+
+def _median_focal(homs_all: jnp.ndarray) -> jnp.ndarray:
+    """Median Szeliski-Shum focal over all pair homographies
+    (bundle_adj.py:354)."""
+    return jnp.median(geo.focal_from_hom(homs_all))
 
 
 def _next_pow2(x: int, lo: int) -> int:
@@ -569,9 +590,6 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
     ids, homs_all, scores = zip(*pair_list)
     src = ids[int(np.argmax(scores))]
 
-    focals = np.asarray(geo.focal_from_hom(jnp.asarray(np.stack(homs_all))))
-    intr = np.diag([np.median(focals)] * 2 + [1.0])
-
     # the heap-walk ORDER depends only on the (host-known) match scores, so
     # the whole schedule — which camera is added when, seeded from which
     # pair homography, gating which edges — is computed here; every
@@ -605,7 +623,7 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
     dtype = np.float32
     params0 = np.zeros((cp, 6), dtype)
     params0[:, 0] = 1.0
-    params0[src] = [intr[0, 0], intr[0, 2], intr[1, 2], 0.0, 0.0, 0.0]
+    params0[src] = 0.0   # focal triple set in-kernel from the median
 
     place_dst = np.full(ap, scratch, np.int32)
     place_src = np.full(ap, scratch, np.int32)
@@ -625,11 +643,14 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
         pts[e, : len(m)] = m
         mask[e, : len(m)] = 1.0
 
-    params, _ = _traverse_kernel(
-        jnp.asarray(params0), jnp.asarray(place_dst), jnp.asarray(place_src),
-        jnp.asarray(homs), jnp.asarray(intr.astype(dtype)),
-        jnp.asarray(cam1), jnp.asarray(cam2), jnp.asarray(pts),
-        jnp.asarray(mask), jnp.asarray(edge_add), mode=badjust)
+    placed_idx = np.asarray(sorted(placed), np.int32)
+    params, _, _ = _traverse_kernel(
+        jnp.asarray(params0), jnp.int32(src), jnp.asarray(place_dst),
+        jnp.asarray(place_src), jnp.asarray(homs),
+        jnp.asarray(np.stack(homs_all).astype(dtype)),
+        jnp.asarray(placed_idx), jnp.asarray(cam1), jnp.asarray(cam2),
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(edge_add),
+        mode=badjust, use_straighten=bool(use_straighten and placed))
     params = np.asarray(params, np.float64)
 
     cameras: List[Optional[PanoImage]] = [None] * n
@@ -637,14 +658,7 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
         cam = _np_camera_from_params(params[i])
         cam.img = imgs[i]
         cameras[i] = cam
-    cameras = [c for c in cameras if c is not None]
-
-    if use_straighten and cameras:
-        rots = np.stack([c.rot for c in cameras])
-        new_rots = np.asarray(geo.straighten(jnp.asarray(rots)))
-        for cam, rot in zip(cameras, new_rots):
-            cam.rot = rot
-    return cameras
+    return [c for c in cameras if c is not None]
 
 
 __all__ = [
