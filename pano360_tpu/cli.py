@@ -14,6 +14,7 @@ import argparse
 import logging
 import os
 import pickle
+import sys
 from typing import Optional
 
 import numpy as np
@@ -61,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default=render.MAX_RESOLUTION,
                         help="cap on the mosaic's longest side "
                              "(reference default 1400).")
+    parser.add_argument("--show", action="store_true",
+                        help="display the mosaic in an image viewer "
+                             "(stitcher.py:449-451 equivalent; no-op with "
+                             "a warning on headless hosts).")
     parser.add_argument("--profile", action="store_true",
                         help="cProfile the host pipeline and print a "
                              "per-stage wall-clock report.")
@@ -152,6 +157,13 @@ def main(argv=None):
     if args.out:
         imwrite(args.out, mosaic)
         print(f"saved {args.out} ({mosaic.shape[1]}x{mosaic.shape[0]})")
+    if args.show:
+        if os.environ.get("DISPLAY") or sys.platform == "darwin":
+            from PIL import Image
+            Image.fromarray(mosaic[..., ::-1]).show()  # BGR -> RGB
+        else:
+            LOG.warning("--show: no display available (headless host); "
+                        "use -o to save the mosaic instead")
     return mosaic
 
 

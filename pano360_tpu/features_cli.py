@@ -21,6 +21,11 @@ def main(argv=None):
                         help="directory with the images to process.")
     parser.add_argument("--detector", default="sift",
                         choices=["sift", "msop"])
+    parser.add_argument("--visualize", nargs=2, type=int, default=None,
+                        metavar=("I", "J"),
+                        help="write a match-overlay image for pair (I, J) "
+                             "(the reference's match_images one-shot check, "
+                             "features.py:286-299).")
     args = parser.parse_args(argv)
 
     name = os.path.basename(args.path)
@@ -28,6 +33,23 @@ def main(argv=None):
     kpts, matches = matching(imgs, detector=args.detector)
     np.savez(f"matches_{name}.npz", kpts=kpts, matches=matches)
     print(f"saved matches_{name}.npz")
+
+    if args.visualize is not None:
+        i, j = args.visualize
+        md = matches.item() if hasattr(matches, "item") else matches
+        if i not in md or j not in md[i]:
+            raise SystemExit(f"no match edge between images {i} and {j}")
+        from pano360_tpu.imageio import imwrite
+        from pano360_tpu.viz import match_images
+        idx, _ = md[i][j]
+        cent_i = np.array([imgs[i].shape[1] / 2, imgs[i].shape[0] / 2])
+        cent_j = np.array([imgs[j].shape[1] / 2, imgs[j].shape[0] / 2])
+        overlay = match_images(imgs[i], imgs[j],
+                               kpts[i][idx[:, 0]] + cent_i,
+                               kpts[j][idx[:, 1]] + cent_j)
+        out = f"matches_{name}_{i}_{j}.png"
+        imwrite(out, overlay)
+        print(f"saved {out} ({len(idx)} inlier matches)")
 
 
 if __name__ == "__main__":

@@ -115,6 +115,17 @@ class TestEndToEnd:
         est_f = regions[0].intr[0, 0]
         assert abs(est_f - focal) / focal < 0.05
 
+    def test_features_cli_visualize(self, dataset, tmp_path, monkeypatch):
+        """features_cli --visualize writes the match-overlay image (the
+        reference's match_images one-shot check)."""
+        ds, *_ = dataset
+        monkeypatch.chdir(tmp_path)
+        from pano360_tpu.features_cli import main as fmain
+        fmain(["--path", ds, "--visualize", "0", "1"])
+        name = os.path.basename(ds)
+        assert os.path.exists(f"matches_{name}.npz")
+        assert os.path.exists(f"matches_{name}_0_1.png")
+
     def test_profile_and_trace_flags(self, dataset, capsys, tmp_path):
         """--profile prints the cProfile + stage report; --trace-dir
         writes a jax.profiler trace (both consume the warm caches)."""
