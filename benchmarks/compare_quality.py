@@ -46,6 +46,31 @@ def psnr(a, b):
     return float(10 * np.log10(255.0 ** 2 / mse)) if mse > 0 else np.inf
 
 
+def psnr_aligned(a, b, max_shift: int = 12):
+    """PSNR after searching an integer translation (mosaic grids anchor
+    at each camera set's own projected range, so even sub-degree camera
+    differences shift the whole canvas by a few pixels)."""
+    h = min(a.shape[0], b.shape[0])
+    w = min(a.shape[1], b.shape[1])
+    a = a[:h, :w].astype(np.float64)
+    b = b[:h, :w].astype(np.float64)
+    best = (0.0, 0, 0)
+    for dy in range(-max_shift, max_shift + 1):
+        for dx in range(-max_shift, max_shift + 1):
+            ya0, yb0 = max(dy, 0), max(-dy, 0)
+            xa0, xb0 = max(dx, 0), max(-dx, 0)
+            hh, ww = h - abs(dy), w - abs(dx)
+            if hh < 32 or ww < 32:
+                continue
+            diff = (a[ya0:ya0 + hh, xa0:xa0 + ww]
+                    - b[yb0:yb0 + hh, xb0:xb0 + ww])
+            mse = np.mean(diff * diff)
+            p = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+            if p > best[0]:
+                best = (p, dy, dx)
+    return best
+
+
 def reg_errors(regions, rots_gt, focal_gt):
     """Registration error vs synthetic ground truth: focal %, relative
     rotation degrees (consecutive pairs), and the implied mosaic-pixel
@@ -120,20 +145,40 @@ def main():
 
     # --- each pipeline vs a ground-truth-camera mosaic from its OWN
     # renderer: the per-pipeline true end-to-end error, free of the other
-    # pipeline's noise. Higher = registered closer to ground truth.
+    # pipeline's noise. The GT rotations are gauge-aligned to each
+    # estimate first (global rotation is unobservable; the estimates are
+    # anchored at an identity seed + straightening): G = the closed-form
+    # Wahba solution min_G sum ||G R_gt_i - R_est_i||_F^2.
+    def align_gt(rots_est):
+        # world-frame gauge: R maps world->camera, so the unobservable
+        # global rotation acts on the RIGHT (straighten is also a right
+        # multiplication); solve min_G sum ||R_gt_i G - R_est_i||_F^2
+        m = sum(rg.T @ re for re, rg in zip(rots_est, rots_gt))
+        uu, _, vt = np.linalg.svd(m)
+        g = uu @ vt
+        if np.linalg.det(g) < 0:
+            g = uu @ np.diag([1, 1, -1]) @ vt
+        return [rg @ g for rg in rots_gt]
+
     intr_gt = np.diag([focal_gt, focal_gt, 1.0])
+    gt_r_ours = align_gt([r.rot for r in regions])
     gt_ours = [PanoImage(im.copy(), r.copy(), intr_gt.copy())
-               for im, r in zip(imgs, rots_gt)]
+               for im, r in zip(imgs, gt_r_ours)]
     m_gt_ours = render.stitch(gt_ours, blender="multiband")
+    gt_r_ref = align_gt([r.rot for r in regions_ref])
     gt_ref = [ref_ba.Image(im.copy(), r.copy(), intr_gt.copy())
-              for im, r in zip(imgs, rots_gt)]
+              for im, r in zip(imgs, gt_r_ref)]
     m_gt_ref = ref_st.stitch(gt_ref, blender=ref_st.multiband_blend)
+    p_o, dy_o, dx_o = psnr_aligned(m_ours, m_gt_ours)
+    p_r, dy_r, dx_r = psnr_aligned(m_ref, m_gt_ref)
     out["vs_gt_mosaic_psnr_db"] = {
-        "ours": round(psnr(m_ours, m_gt_ours), 2),
-        "reference": round(psnr(m_ref, m_gt_ref), 2),
+        "ours": round(p_o, 2), "ours_shift": [dy_o, dx_o],
+        "reference": round(p_r, 2), "reference_shift": [dy_r, dx_r],
     }
     print("vs GT mosaic:", out["vs_gt_mosaic_psnr_db"], flush=True)
 
+    cv2.imwrite(os.path.join(ROOT, "benchmarks", "mosaic_gt.png"),
+                m_gt_ours)
     cv2.imwrite(os.path.join(ROOT, "benchmarks", "mosaic_ref.png"), m_ref)
     cv2.imwrite(os.path.join(ROOT, "benchmarks", "mosaic_shared_reg.png"),
                 m_shared)
