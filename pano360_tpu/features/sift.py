@@ -39,7 +39,7 @@ from jax import lax
 
 from pano360_tpu.geometry import det3x3, inv3x3
 from pano360_tpu.ops.filters import gaussian_blur
-from pano360_tpu.ops.resize import resize_bilinear, upsample2x_bilinear
+from pano360_tpu.ops.resize import upsample2x_bilinear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,12 +60,13 @@ class SiftConfig:
     descr_ori_bins: int = 8
     descr_samples: int = 16      # 16x16 rotated sample grid
     descr_mag_thresh: float = 0.2
-    # post-refinement compaction: per octave keep the top
-    # max(max_kpts >> (o + sel_shift), 128) surviving candidates by
-    # |contrast| before the (heavy) patch/orientation/descriptor stages.
-    # Raw DoG candidates outnumber refinement survivors ~10x (the caps
-    # saturate with low-contrast extrema the Newton step rejects), so
-    # without compaction ~75% of the descriptor work is on dead slots.
+    # post-refinement compaction: octaves with >=1024 candidate slots
+    # keep only the top max(cap >> sel_shift, 512) surviving candidates
+    # by |contrast| before the (heavy) patch/orientation/descriptor
+    # stages. Raw DoG candidates outnumber refinement survivors ~10x
+    # (the budgets saturate with low-contrast extrema the Newton step
+    # rejects), so without compaction ~75% of the descriptor work is on
+    # dead slots.
     sel_shift: int = 2
 
     @property

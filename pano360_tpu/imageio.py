@@ -8,7 +8,7 @@ files and outputs stay structurally identical.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 from PIL import Image as PILImage

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import functools
 import logging
-import math
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -31,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from pano360_tpu import geometry as geo
-from pano360_tpu.ops.filters import gaussian_blur, auto_ksize
+from pano360_tpu.ops.filters import gaussian_blur
 from pano360_tpu.ops.warp import remap_bilinear, warp_perspective
 from pano360_tpu.register import PanoImage
 
