@@ -433,6 +433,19 @@ BLENDERS = {
 }
 
 
+@functools.partial(jax.jit, static_argnames=("ph", "pw", "projection",
+                                             "blender", "shape"))
+def _warp_and_blend(imgs_rgba, projs, bottoms, resolution, range_min,
+                    ph: int, pw: int, shape: Tuple[int, int],
+                    blender: str, projection=geo.SphProj, shapes=None):
+    """Backward warp + blend in ONE dispatch (the 60-MB patch tensor
+    stays in HBM and the host saves a ~30 ms relay round trip)."""
+    patches, invalid = backward_warp_all(
+        imgs_rgba, projs, bottoms, resolution, range_min, ph, pw,
+        projection, shapes)
+    return BLENDERS[blender](patches, invalid, bottoms, shape), invalid
+
+
 # ---------------------------------------------------------------------------
 # Stitch orchestration (stitcher.py:274-327)
 # ---------------------------------------------------------------------------
@@ -546,15 +559,15 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
                         "cannot fit the VMEM caps at any mip level; using "
                         "the XLA path")
     if patches is None:
-        patches, invalid = backward_warp_all(
+        mosaic, invalid = _warp_and_blend(
             imgs_rgba, jnp.asarray(projs, jnp.float32),
             jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
-            jnp.asarray(im_range[0], jnp.float32), ph, pw,
-            shapes=shapes_dev)
-
-    mosaic = BLENDERS[blender](patches, invalid,
-                               jnp.asarray(bottoms, jnp.int32), shape)
+            jnp.asarray(im_range[0], jnp.float32), ph, pw, shape,
+            blender, shapes=shapes_dev)
+    else:
+        mosaic = BLENDERS[blender](patches, invalid,
+                                   jnp.asarray(bottoms, jnp.int32), shape)
     mosaic = np.asarray(mosaic)
 
     if crop:
