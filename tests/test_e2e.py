@@ -115,6 +115,31 @@ class TestEndToEnd:
         est_f = regions[0].intr[0, 0]
         assert abs(est_f - focal) / focal < 0.05
 
+    def test_two_image_minimum(self, tmp_path):
+        """The smallest useful panorama: two overlapping views."""
+        imgs, _, _ = synth.make_views(n_views=2, shape=(180, 240),
+                                      overlap=0.5, seed=21)
+        ds = tmp_path / "pair"
+        synth.write_dataset(str(ds), imgs)
+        args = build_parser().parse_args(
+            [str(ds), "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", str(tmp_path)])
+        mosaic = run(args)
+        assert mosaic.ndim == 3 and mosaic.shape[1] > 240
+
+    def test_unrelated_images_clean_exit(self, tmp_path):
+        """Views with no overlap produce an empty match graph and a clean
+        SystemExit, not a crash (cli.py empty-graph gate)."""
+        a, _, _ = synth.make_views(n_views=1, shape=(180, 240), seed=31)
+        b, _, _ = synth.make_views(n_views=1, shape=(180, 240), seed=77)
+        ds = tmp_path / "unrelated"
+        synth.write_dataset(str(ds), [a[0], b[0]])
+        args = build_parser().parse_args(
+            [str(ds), "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", str(tmp_path)])
+        with pytest.raises(SystemExit, match="match graph is empty"):
+            run(args)
+
     def test_features_cli_visualize(self, dataset, tmp_path, monkeypatch):
         """features_cli --visualize writes the match-overlay image (the
         reference's match_images one-shot check)."""
