@@ -1,0 +1,94 @@
+"""Scale benchmark: how the TPU pipeline's advantage grows with load.
+
+Runs our pipeline and the CPU reference on a larger synthetic sweep than
+the flagship benchmark (25 views x 2.2 Mpix vs 15 x 1 Mpix) and records
+end-to-end times into SCALE.json. The TPU pipeline's costs are dominated
+by fixed dispatch overheads and the host link at the flagship size, so
+its advantage should widen as real compute grows.
+"""
+import json
+import os
+import sys
+import time
+import types
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+import numpy as np  # noqa: E402
+import cv2  # noqa: E402
+
+if not hasattr(cv2, "xfeatures2d"):
+    cv2.xfeatures2d = types.SimpleNamespace(SIFT_create=cv2.SIFT_create)
+if not hasattr(np, "object"):
+    np.object = object
+sys.path.insert(0, "/root/reference")
+
+from pano360_tpu import synth  # noqa: E402
+
+N_VIEWS = 25
+SHAPE = (1296, 1728)   # ~2.2 Mpix
+
+
+def make_imgs():
+    imgs, _, _ = synth.make_views(n_views=N_VIEWS, shape=SHAPE,
+                                  overlap=0.45, seed=7)
+    return [(np.asarray(im) * 255).astype(np.uint8) for im in imgs]
+
+
+def run_ours(imgs):
+    from pano360_tpu.pipeline import (matching, idx_to_keypoints,
+                                      upload_extract)
+    from pano360_tpu.register import traverse
+    from pano360_tpu import render
+
+    def pipeline():
+        dev, feats = upload_extract(imgs)
+        kpts, matches = matching(imgs, seed=0, dev_images=dev, feats=feats)
+        regions = traverse(imgs, idx_to_keypoints(matches, kpts),
+                           badjust="incr")
+        return render.stitch(regions, blender="multiband", dev_images=dev)
+
+    pipeline()                     # warm-up (compiles)
+    t0 = time.time()
+    mosaic = pipeline()
+    return time.time() - t0, mosaic.shape
+
+
+def run_reference(imgs):
+    import features as ref_feat
+    import stitcher as ref_st
+    import bundle_adj as ref_ba
+
+    t0 = time.time()
+    kpts, matches = ref_feat.matching(imgs)
+    regions = ref_ba.traverse(
+        imgs, ref_st.idx_to_keypoints(matches, kpts), badjust="incr")
+    mosaic = ref_st.stitch(regions, blender=ref_st.multiband_blend)
+    return time.time() - t0, mosaic.shape
+
+
+def main():
+    imgs = make_imgs()
+    print(f"dataset: {N_VIEWS} x {SHAPE} "
+          f"({np.stack(imgs).nbytes / 1e6:.0f} MB)", flush=True)
+
+    ours_s, ours_shape = run_ours(imgs)
+    print(f"ours: {ours_s:.2f} s -> {ours_shape}", flush=True)
+
+    ref_s, ref_shape = run_reference(imgs)
+    print(f"reference: {ref_s:.2f} s -> {ref_shape}", flush=True)
+
+    out = {"n_views": N_VIEWS, "shape": list(SHAPE),
+           "ours_s": round(ours_s, 2), "reference_s": round(ref_s, 2),
+           "speedup": round(ref_s / ours_s, 2)}
+    with open(os.path.join(ROOT, "benchmarks", "SCALE.json"), "w") as fid:
+        json.dump(out, fid, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
