@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=render.MAX_RESOLUTION,
                         help="cap on the mosaic's longest side "
                              "(reference default 1400).")
+    parser.add_argument("--projection", default="spherical",
+                        choices=["spherical", "cylindrical"],
+                        help="output projection surface (the reference "
+                             "ships the cylindrical model, "
+                             "stitcher.py:90-104, but never wires it).")
     parser.add_argument("--show", action="store_true",
                         help="display the mosaic in an image viewer "
                              "(stitcher.py:449-451 equivalent; no-op with "
@@ -140,7 +145,8 @@ def run(args, timer: Optional[StageTimer] = None) -> np.ndarray:
         mosaic = render.stitch(regions, blender=args.blend,
                                equalize=args.equalize, crop=args.crop,
                                dev_images=dev_images,
-                               max_resolution=args.max_resolution)
+                               max_resolution=args.max_resolution,
+                               projection=args.projection)
     return mosaic
 
 

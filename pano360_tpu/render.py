@@ -109,7 +109,8 @@ def proj_img_range_corners(shape: Tuple[int, int], hom: np.ndarray,
 
 
 def estimate_resolution(regions: List[PanoImage],
-                        max_resolution: int = MAX_RESOLUTION):
+                        max_resolution: int = MAX_RESOLUTION,
+                        projection=geo.SphProj):
     """Output resolution and global range (stitcher.py:142-157). Host.
 
     ``max_resolution``: cap on the mosaic's longest side (the reference
@@ -122,7 +123,8 @@ def estimate_resolution(regions: List[PanoImage],
 
     mid = regions[len(regions) // 2]
     im_shape = np.array(mid.img.shape[:2][::-1])
-    mid_range = proj_img_range_corners(mid.img.shape[:2], mid.hom())
+    mid_range = proj_img_range_corners(mid.img.shape[:2], mid.hom(),
+                                       projection)
     resolution = (mid_range[1] - mid_range[0]) / im_shape
 
     max_side = np.max(size / resolution)
@@ -454,7 +456,8 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
            equalize: bool = False, crop: bool = False,
            dev_images=None,
            max_resolution: int = MAX_RESOLUTION,
-           use_pallas: Optional[bool] = None) -> np.ndarray:
+           use_pallas: Optional[bool] = None,
+           projection: str = "spherical") -> np.ndarray:
     """Full render: ranges -> weights -> (equalize) -> warp -> blend -> crop.
 
     ``regions[k].img``: uint8 BGR or float BGR in [0, 1]; mixed image
@@ -464,8 +467,12 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     upload. ``use_pallas``: None = auto (fused Pallas warp kernel on TPU
     when it is exact and fastest, i.e. no minification mip levels
     needed), True = force the kernel (mip-sampled under minification),
-    False = never. Returns a uint8 BGR mosaic.
+    False = never. ``projection``: "spherical" (the reference's main
+    path) or "cylindrical" (the reference ships the model,
+    stitcher.py:90-104, but never wires it; here it is a first-class
+    output mode). Returns a uint8 BGR mosaic.
     """
+    proj = geo.PROJECTIONS[projection]
     n = len(regions)
     shapes = np.array([r.img.shape[:2] for r in regions])
     uniform = bool((shapes == shapes[0]).all())
@@ -494,7 +501,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     shapes_dev = None if uniform else jnp.asarray(shapes, jnp.float32)
     homs = np.stack([r.hom() for r in regions])
     rmin, rmax = proj_img_range_border((h, w), jnp.asarray(homs),
-                                       shapes=shapes_dev)
+                                       projection=proj, shapes=shapes_dev)
     rmin, rmax = np.asarray(rmin, np.float64), np.asarray(rmax, np.float64)
     for k, reg in enumerate(regions):
         reg.range = (rmin[k], rmax[k])
@@ -504,7 +511,8 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         imgs_rgba = equalize_gains(regions, imgs_rgba,
                                    None if uniform else shapes)
 
-    resolution, im_range = estimate_resolution(regions, max_resolution)
+    resolution, im_range = estimate_resolution(regions, max_resolution,
+                                               proj)
     target = (im_range[1] - im_range[0]) / resolution
     shape = tuple(int(t) for t in np.round(target))[::-1]  # (H, W)
 
@@ -531,8 +539,8 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
 
     projs = np.stack([r.proj() for r in regions])
     patches = invalid = None
-    if (use_pallas is not False and uniform
-            and jax.default_backend() == "tpu"):
+    if (use_pallas is not False and uniform and proj is geo.SphProj
+            and jax.default_backend() == "tpu"):   # kernel is spherical
         from pano360_tpu.ops import pallas_warp as PW
         origins, ok, win_y, win_x, n_levels = PW.plan_windows(
             projs, bottoms, resolution, im_range[0], (h, w), ph, pw)
@@ -564,7 +572,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
             jnp.asarray(im_range[0], jnp.float32), ph, pw, shape,
-            blender, shapes=shapes_dev)
+            blender, projection=proj, shapes=shapes_dev)
     else:
         mosaic = BLENDERS[blender](patches, invalid,
                                    jnp.asarray(bottoms, jnp.int32), shape)

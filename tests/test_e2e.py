@@ -115,6 +115,20 @@ class TestEndToEnd:
         est_f = regions[0].intr[0, 0]
         assert abs(est_f - focal) / focal < 0.05
 
+    def test_cylindrical_projection(self, dataset, tmp_path):
+        """--projection cylindrical renders through CylProj end-to-end
+        (the reference ships the model but never wires it)."""
+        ds, root, *_ = dataset
+        args = build_parser().parse_args(
+            [ds, "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", root, "--projection", "cylindrical"])
+        mosaic = run(args)
+        assert mosaic.dtype == np.uint8 and mosaic.ndim == 3
+        h, w = mosaic.shape[:2]
+        assert w > 1.8 * 240 and h >= 150
+        inner = mosaic[h // 4: -h // 4, w // 4: -w // 4]
+        assert (inner.sum(-1) > 0).mean() > 0.95
+
     def test_two_image_minimum(self, tmp_path):
         """The smallest useful panorama: two overlapping views."""
         imgs, _, _ = synth.make_views(n_views=2, shape=(180, 240),
