@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="output projection surface (the reference "
                              "ships the cylindrical model, "
                              "stitcher.py:90-104, but never wires it).")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard the pipeline over this many devices "
+                             "(jax.sharding.Mesh: extraction over images, "
+                             "matching over pairs, bundle adjustment over "
+                             "edges, warping over regions); 0 = off.")
     parser.add_argument("--show", action="store_true",
                         help="display the mosaic in an image viewer "
                              "(stitcher.py:449-451 equivalent; no-op with "
@@ -107,6 +112,17 @@ def run(args, timer: Optional[StageTimer] = None) -> np.ndarray:
     dev_images = feats = None
     uniform = len({im.shape for im in imgs}) == 1
 
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        import jax
+        from pano360_tpu.parallel import make_mesh
+        n_dev = len(jax.devices())
+        if n_dev < args.mesh:
+            LOG.warning("--mesh %d requested but only %d device(s) "
+                        "available; using %d", args.mesh, n_dev, n_dev)
+        if min(args.mesh, n_dev) > 1:
+            mesh = make_mesh(min(args.mesh, n_dev))
+
     match_cache = os.path.join(args.cache_dir, f"matches_{name}.npz")
     try:
         arr = np.load(match_cache, allow_pickle=True)
@@ -116,13 +132,13 @@ def run(args, timer: Optional[StageTimer] = None) -> np.ndarray:
             dev_images = to_device(imgs)   # single host->device upload
     except IOError:
         with timer.stage("Matched features"):
-            if args.detector == "sift":
+            if args.detector == "sift" and mesh is None:
                 from pano360_tpu.pipeline import upload_extract
                 # upload || extract; dev stack is None for mixed shapes
                 dev_images, feats = upload_extract(imgs)
             kpts, matches = matching(imgs, detector=args.detector,
                                      seed=args.seed, dev_images=dev_images,
-                                     feats=feats)
+                                     feats=feats, mesh=mesh)
             np.savez(match_cache, kpts=kpts, matches=matches)
 
     ba_cache = os.path.join(args.cache_dir, f"ba_{name}.pkl")
@@ -132,7 +148,7 @@ def run(args, timer: Optional[StageTimer] = None) -> np.ndarray:
     except IOError:
         with timer.stage("Image registration"):
             regions = traverse(imgs, idx_to_keypoints(matches, kpts),
-                               badjust=args.ba)
+                               badjust=args.ba, mesh=mesh)
         with open(ba_cache, "wb") as fid:
             pickle.dump(regions, fid, protocol=pickle.HIGHEST_PROTOCOL)
 
@@ -146,7 +162,7 @@ def run(args, timer: Optional[StageTimer] = None) -> np.ndarray:
                                equalize=args.equalize, crop=args.crop,
                                dev_images=dev_images,
                                max_resolution=args.max_resolution,
-                               projection=args.projection)
+                               projection=args.projection, mesh=mesh)
     return mosaic
 
 

@@ -1,12 +1,16 @@
-"""Multi-chip dryrun: one distributed pipeline step on an n-device mesh.
+"""Multi-chip dryrun: the PRODUCTION pipeline on an n-device mesh.
+
+Runs ``pipeline.matching`` (extraction sharded over images, the O(N^2)
+match graph sharded over pairs), ``register.traverse`` (bundle-adjustment
+edges sharded, normal equations psum-reduced) and ``render.stitch`` (warp
+sharded over regions, patches all-gathered) over the mesh, then asserts
+the mosaic matches a single-device run of the same functions.
 
 Self-provisions the device mesh: when the process has fewer than the
 requested number of devices (e.g. a single relay-attached TPU chip), it
 forces the CPU backend with ``--xla_force_host_platform_device_count`` so
-the full distributed step (data-parallel SIFT extraction, pair-parallel
-ring matching, psum-reduced Gauss-Newton camera update; see
-``pano360_tpu.parallel.mesh.distributed_step``) compiles and executes on
-n virtual devices without n real chips.
+the full pipeline compiles and executes on n virtual devices without n
+real chips.
 
 Must run before the jax backend initializes to take effect in-process;
 ``__graft_entry__.dryrun_multichip`` re-execs into this module in a fresh
@@ -43,14 +47,18 @@ def provision(n_devices: int) -> None:
 
 
 def run(n_devices: int) -> None:
-    """Execute one distributed step over an n-device mesh (tiny shapes)."""
+    """Run the PRODUCTION pipeline (matching -> traverse -> stitch) over
+    an n-device mesh on tiny shapes and assert the mosaic matches the
+    single-device run of the same functions (>= 50 dB PSNR; the only
+    permitted divergence is psum reduction order in the bundle
+    adjuster's normal equations)."""
     import numpy as np
     import jax
-    import jax.numpy as jnp
 
-    from pano360_tpu.features.sift import SiftConfig
-    from pano360_tpu.parallel import make_mesh, distributed_step
-    from pano360_tpu import synth
+    from pano360_tpu import render, synth
+    from pano360_tpu.parallel import make_mesh
+    from pano360_tpu.pipeline import idx_to_keypoints, matching
+    from pano360_tpu.register import traverse
 
     if len(jax.devices()) < n_devices:
         raise RuntimeError(
@@ -59,20 +67,31 @@ def run(n_devices: int) -> None:
             "backend initializes")
 
     mesh = make_mesh(n_devices)
-    shape = (64, 96)
     imgs, _, _ = synth.make_views(
-        n_views=n_devices, shape=shape, overlap=0.5, seed=0)
-    gray = jnp.asarray(np.stack(
-        [im.mean(axis=-1) for im in imgs]), jnp.float32)
+        n_views=n_devices, shape=(64, 96), overlap=0.5, seed=0)
+    # production inputs are uint8 BGR (cv2.imread convention)
+    imgs = [np.clip(im * 255, 0, 255).astype(np.uint8) for im in imgs]
 
-    cfg = SiftConfig(max_kpts=128, upscale=False)
-    params, n_inl = distributed_step(mesh, gray, cfg)
-    params.block_until_ready()
-    assert params.shape == (n_devices, 6), params.shape
-    assert bool(jnp.all(jnp.isfinite(params))), "non-finite camera update"
+    def pipeline(use_mesh):
+        kpts, matches = matching(imgs, max_kpts=256, seed=0, mesh=use_mesh)
+        regions = traverse(imgs, idx_to_keypoints(matches, kpts),
+                           badjust="incr", mesh=use_mesh)
+        assert regions, "empty match graph in dryrun"
+        return render.stitch(regions, blender="multiband", mesh=use_mesh)
+
+    mosaic = pipeline(mesh)
+    placed = mosaic.shape
+    mosaic0 = pipeline(None)
+    assert mosaic.shape == mosaic0.shape, (mosaic.shape, mosaic0.shape)
+    diff = mosaic.astype(np.float64) - mosaic0.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr >= 50.0, f"mesh/single-device mosaic mismatch: {psnr:.1f} dB"
     print(f"dryrun_multichip({n_devices}): ok on "
-          f"{jax.default_backend()} x{n_devices}, params {params.shape}, "
-          f"inliers {int(n_inl)}", flush=True)
+          f"{jax.default_backend()} x{n_devices} — production "
+          f"matching/traverse/stitch sharded over the mesh, mosaic "
+          f"{placed[1]}x{placed[0]}, parity vs single-device "
+          f"{psnr:.1f} dB", flush=True)
 
 
 def main(argv=None) -> None:

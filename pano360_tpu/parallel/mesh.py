@@ -98,6 +98,69 @@ def distributed_lm_stats(mesh: Mesh, params, cam1_idx, cam2_idx, pts, mask):
     return fn(params, cam1_idx, cam2_idx, pts, mask)
 
 
+# ---------------------------------------------------------------------------
+# Production-pipeline sharding (used by pipeline.matching / render.stitch
+# / register.traverse when a mesh is passed; see also --mesh in cli.py)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _gray_extract_fn(mesh: Mesh, cfg: S.SiftConfig):
+    from pano360_tpu.ops.color import bgr2gray
+
+    def local(s):
+        gray = bgr2gray(s.astype(jnp.float32) / 255.0)
+        f = S.sift_extract(gray, cfg)
+        gather = functools.partial(jax.lax.all_gather, axis_name="data",
+                                   tiled=True)
+        return jax.tree_util.tree_map(gather, f)
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(P("data"),),
+                             out_specs=P(), check_vma=False))
+
+
+def sharded_gray_extract(mesh: Mesh, stack_u8: jnp.ndarray,
+                         cfg: S.SiftConfig):
+    """The production extraction program (uint8 BGR -> gray -> SIFT) with
+    the image axis sharded over the mesh. Same compute as
+    ``pipeline._gray_extract``; features come back replicated
+    (all-gathered) for host match-graph assembly. N must be a multiple of
+    the mesh size (pipeline.matching pads by repeating the last image)."""
+    return _gray_extract_fn(mesh, cfg)(stack_u8)
+
+
+@functools.lru_cache(maxsize=None)
+def _match_all_pairs_fn(mesh: Mesh, batch_size: int):
+    def local(kp, ds, va, pa, pb, ks):
+        def one(args):
+            a, b, k = args
+            return pm.match_pair(kp[a], ds[a], va[a],
+                                 kp[b], ds[b], va[b], k)
+
+        res = jax.lax.map(one, (pa, pb, ks), batch_size=batch_size)
+        gather = functools.partial(jax.lax.all_gather, axis_name="data",
+                                   tiled=True)
+        return jax.tree_util.tree_map(gather, res)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False))
+
+
+def sharded_match_all_pairs(mesh: Mesh, kpts, desc, valid, pair_a, pair_b,
+                            keys, batch_size: int = 16):
+    """``match.match_all_pairs`` with the PAIR axis sharded over the mesh.
+
+    Each device runs the memory-bounded ``lax.map`` chunk loop over its
+    own pair shard (identical per-pair program to the single-device
+    path), then the PairMatch results are all-gathered. Feature buffers
+    are replicated — at panorama scale they are a few MB, far below the
+    O(N^2) pair work they feed. P must be a multiple of the mesh size.
+    """
+    return _match_all_pairs_fn(mesh, batch_size)(kpts, desc, valid,
+                                                 pair_a, pair_b, keys)
+
+
 def distributed_step(mesh: Mesh, gray: jnp.ndarray, cfg: S.SiftConfig,
                      lm_lambda: float = R.LM_LAMBDA):
     """One full distributed pipeline step (the framework's 'training step').
@@ -143,4 +206,5 @@ def distributed_step(mesh: Mesh, gray: jnp.ndarray, cfg: S.SiftConfig,
 
 
 __all__ = ["make_mesh", "sharded_extract", "sharded_pair_match",
-           "distributed_lm_stats", "distributed_step"]
+           "distributed_lm_stats", "distributed_step",
+           "sharded_gray_extract", "sharded_match_all_pairs"]

@@ -448,6 +448,41 @@ def _warp_and_blend(imgs_rgba, projs, bottoms, resolution, range_min,
     return BLENDERS[blender](patches, invalid, bottoms, shape), invalid
 
 
+@functools.lru_cache(maxsize=None)
+def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
+                            shape: Tuple[int, int], blender: str,
+                            projection, n_true: int):
+    """Region-sharded warp + replicated blend over a device mesh.
+
+    The backward warp — the FLOP/bandwidth-heavy stage — runs on each
+    device's region shard; patches are all-gathered over ICI and the
+    (sequential read-modify-write) blend runs replicated, so the mosaic
+    comes back identical on every device. Region arrays must be padded
+    to a mesh multiple; ``n_true`` slices the padding off before blend.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(imgs_rgba, projs, bottoms_sh, bottoms_full, resolution,
+              range_min, shapes_sh):
+        patches, invalid = backward_warp_all(
+            imgs_rgba, projs, bottoms_sh, resolution, range_min, ph, pw,
+            projection, shapes_sh)
+        gather = functools.partial(jax.lax.all_gather, axis_name="data",
+                                   tiled=True)
+        patches = gather(patches)[:n_true]
+        invalid = gather(invalid)[:n_true]
+        mosaic = BLENDERS[blender](patches, invalid,
+                                   bottoms_full[:n_true], shape)
+        return mosaic, invalid
+
+    sm = shard_map(local, mesh=mesh,
+                   in_specs=(P("data"), P("data"), P("data"), P(), P(),
+                             P(), P("data")),
+                   out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sm)
+
+
 # ---------------------------------------------------------------------------
 # Stitch orchestration (stitcher.py:274-327)
 # ---------------------------------------------------------------------------
@@ -457,7 +492,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
            dev_images=None,
            max_resolution: int = MAX_RESOLUTION,
            use_pallas: Optional[bool] = None,
-           projection: str = "spherical") -> np.ndarray:
+           projection: str = "spherical", mesh=None) -> np.ndarray:
     """Full render: ranges -> weights -> (equalize) -> warp -> blend -> crop.
 
     ``regions[k].img``: uint8 BGR or float BGR in [0, 1]; mixed image
@@ -470,7 +505,9 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     False = never. ``projection``: "spherical" (the reference's main
     path) or "cylindrical" (the reference ships the model,
     stitcher.py:90-104, but never wires it; here it is a first-class
-    output mode). Returns a uint8 BGR mosaic.
+    output mode). ``mesh``: optional ``jax.sharding.Mesh`` ("data" axis)
+    — the backward warp shards over regions, patches all-gather over
+    ICI, the blend runs replicated. Returns a uint8 BGR mosaic.
     """
     proj = geo.PROJECTIONS[projection]
     n = len(regions)
@@ -538,6 +575,39 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     bottoms[:, 1] = np.clip(bottoms[:, 1], 0, shape[0] - ph)
 
     projs = np.stack([r.proj() for r in regions])
+    if mesh is not None:
+        nd = int(mesh.devices.size)
+        npad = -(-n // nd) * nd
+        imgs_pad = jnp.concatenate(
+            [imgs_rgba, jnp.zeros((npad - n,) + imgs_rgba.shape[1:],
+                                  imgs_rgba.dtype)]) if npad > n \
+            else imgs_rgba
+        projs_pad = np.concatenate(
+            [projs, np.broadcast_to(np.eye(3), (npad - n, 3, 3))])
+        bottoms_pad = np.concatenate(
+            [bottoms, np.zeros((npad - n, 2), bottoms.dtype)])
+        shapes_pad = np.concatenate(
+            [shapes, np.broadcast_to(np.array([h, w]), (npad - n, 2))])
+        fn = _warp_and_blend_mesh_fn(mesh, ph, pw, shape, blender, proj, n)
+        mosaic, invalid = fn(
+            imgs_pad, jnp.asarray(projs_pad, jnp.float32),
+            jnp.asarray(bottoms_pad, jnp.int32),
+            jnp.asarray(bottoms, jnp.int32),
+            jnp.asarray(resolution, jnp.float32),
+            jnp.asarray(im_range[0], jnp.float32),
+            jnp.asarray(shapes_pad, jnp.float32))
+        mosaic = np.asarray(mosaic)
+        if crop:
+            LOG.debug("Cropping...")
+            valid = np.zeros(shape, bool)
+            inv = np.asarray(invalid)
+            for k in range(n):
+                x0, y0 = bottoms[k]
+                valid[y0:y0 + ph, x0:x0 + pw] |= ~inv[k]
+            from pano360_tpu.native import crop_mosaic
+            mosaic = crop_mosaic(mosaic, valid)
+        return mosaic
+
     patches = invalid = None
     if (use_pallas is not False and uniform and proj is geo.SphProj
             and jax.default_backend() == "tpu"):   # kernel is spherical

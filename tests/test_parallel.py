@@ -65,7 +65,51 @@ class TestParallel:
         npt.assert_allclose(np.asarray(d[3]), np.asarray(l[3]),
                             rtol=1e-4, atol=1e-2)
 
-    # NOTE: the full distributed_step (extract -> ring match -> psum'd
-    # Gauss-Newton) is exercised by __graft_entry__.dryrun_multichip, which
-    # the driver runs on every round; duplicating it here would add ~7 min
-    # of mesh compiles to the suite.
+    def test_production_pipeline_mesh_parity(self):
+        """matching -> traverse -> stitch over a 4-device mesh must match
+        the single-device run of the SAME production functions (the
+        ``--mesh`` CLI path; also exercised at 8 devices by
+        ``__graft_entry__.dryrun_multichip`` every driver round)."""
+        from pano360_tpu import render, synth
+        from pano360_tpu.pipeline import idx_to_keypoints, matching
+        from pano360_tpu.register import traverse
+
+        imgs, _, _ = synth.make_views(n_views=4, shape=(64, 96),
+                                      overlap=0.5, seed=0)
+        imgs = [np.clip(im * 255, 0, 255).astype(np.uint8) for im in imgs]
+        mesh = make_mesh(4)
+
+        kpts_m, matches_m = matching(imgs, max_kpts=256, seed=0, mesh=mesh)
+        kpts_s, matches_s = matching(imgs, max_kpts=256, seed=0)
+        # features and the match graph are bit-identical: the sharded
+        # program runs the same per-pair kernel, just partitioned
+        for a, b in zip(kpts_m, kpts_s):
+            npt.assert_array_equal(a, b)
+        mm, ms = matches_m.item(), matches_s.item()
+        assert set(mm) == set(ms)
+        for i in mm:
+            assert set(mm[i]) == set(ms[i])
+            for j in mm[i]:
+                npt.assert_array_equal(mm[i][j][0], ms[i][j][0])
+
+        r_m = traverse(imgs, idx_to_keypoints(matches_m, kpts_m),
+                       badjust="incr", mesh=mesh)
+        r_s = traverse(imgs, idx_to_keypoints(matches_s, kpts_s),
+                       badjust="incr")
+        # bundle adjustment psum-reduces over the mesh: reduction order
+        # differs, so agreement is to optimizer tolerance, not bitwise
+        for a, b in zip(r_m, r_s):
+            npt.assert_allclose(a.rot, b.rot, atol=5e-4)
+            npt.assert_allclose(a.intr[0, 0], b.intr[0, 0], rtol=1e-3)
+
+        m_m = render.stitch(r_m, blender="multiband", mesh=mesh)
+        m_s = render.stitch(r_s, blender="multiband")
+        assert m_m.shape == m_s.shape
+        d = m_m.astype(np.float64) - m_s.astype(np.float64)
+        mse = float(np.mean(d * d))
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+        assert psnr >= 50.0, f"mesh mosaic diverged: {psnr:.1f} dB"
+
+    # NOTE: the 8-device version of the production pipeline (plus the
+    # distributed_step building-block demo) is exercised by
+    # __graft_entry__.dryrun_multichip, which the driver runs every round.
