@@ -171,53 +171,114 @@ def _oriented_descriptors(blurred: jnp.ndarray, rows: jnp.ndarray,
     return (desc - mean) / (std + 1e-8)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _msop_level_batch(gray: jnp.ndarray, cap: int):
+    """``_msop_level`` vmapped over a batch of same-shape images."""
+    return jax.vmap(lambda g: _msop_level(g, cap))(gray)
+
+
+_oriented_descriptors_batch = jax.jit(jax.vmap(_oriented_descriptors))
+
+
+@jax.jit
+def _msop_gray(stack_u8: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, 3) uint8 BGR -> (N, H, W) float gray in 0..255."""
+    return bgr2gray(stack_u8.astype(jnp.float32))
+
+
+def msop_extract_batch(imgs_bgr: Sequence[np.ndarray],
+                       max_feat: Sequence[int] = MAX_FEAT):
+    """Extract MSOP keypoints + descriptors for a same-shape image batch.
+
+    Per-image host loops pay a device sync per image per level (the
+    reference loops too, features.py:133-156 — but on a relay-attached
+    TPU each sync is a ~30 ms round trip, so N images x L levels of them
+    dominated the MSOP configs). Here every pyramid level runs ONE
+    vmapped candidate dispatch and ONE vmapped descriptor dispatch for
+    the whole batch; all four levels' candidate programs are enqueued
+    back-to-back before the first host sync, so the device pipelines
+    levels while the host runs SSC. Only SSC (sequential greedy
+    suppression, C++-accelerated) touches the host.
+
+    Returns per-image ``(kpts (N_i, 2) float32 (x, y), desc (N_i, 64))``
+    lists.
+    """
+    n = len(imgs_bgr)
+    cur = _msop_gray(jnp.asarray(np.stack(imgs_bgr)))
+    # enqueue every level's candidate program before any host sync
+    levels = []
+    for maxf in max_feat:
+        vals, rows, cols, theta, blurred, nxt = _msop_level_batch(
+            cur, maxf * 20)
+        levels.append((vals, rows, cols, theta, blurred, cur.shape[1:]))
+        cur = nxt
+
+    points = [[] for _ in range(n)]
+    descs = [[] for _ in range(n)]
+    for lvl, (maxf, (vals_d, rows_d, cols_d, theta_d, blurred, hw)) in \
+            enumerate(zip(max_feat, levels)):
+        h, w = hw
+        vals = np.asarray(vals_d)
+        rows_a, cols_a = np.asarray(rows_d), np.asarray(cols_d)
+        theta_a = np.asarray(theta_d)
+        sel_rows, sel_cols, sel_theta = [], [], []
+        for i in range(n):
+            valid = np.isfinite(vals[i])
+            rows = rows_a[i][valid]
+            cols = cols_a[i][valid]
+            thetas = theta_a[i][valid]
+            sel = ssc(np.stack([cols, rows], axis=1).astype(np.float32),
+                      (w, h), maxf)
+            sel_rows.append(rows[sel])
+            sel_cols.append(cols[sel])
+            sel_theta.append(thetas[sel])
+
+        # one shared pow2 capacity for the whole batch: distinct counts
+        # would recompile the descriptor program per image
+        top = max((len(r) for r in sel_rows), default=0)
+        if top == 0:
+            continue
+        cap = max(64, 1 << (top - 1).bit_length())
+        rows_b = np.zeros((n, cap), rows_a.dtype)
+        cols_b = np.zeros((n, cap), cols_a.dtype)
+        theta_b = np.zeros((n, cap), np.float32)
+        for i in range(n):
+            k = len(sel_rows[i])
+            rows_b[i, :k] = sel_rows[i]
+            cols_b[i, :k] = sel_cols[i]
+            theta_b[i, :k] = sel_theta[i]
+        desc = np.asarray(_oriented_descriptors_batch(
+            blurred, jnp.asarray(rows_b), jnp.asarray(cols_b),
+            jnp.asarray(theta_b)))
+        scale = 2.0 ** lvl
+        for i in range(n):
+            k = len(sel_rows[i])
+            if k:
+                descs[i].append(desc[i, :k])
+                points[i].append(np.stack(
+                    [sel_cols[i] * scale, sel_rows[i] * scale],
+                    axis=1).astype(np.float32))
+
+    out = []
+    for i in range(n):
+        if points[i]:
+            out.append((np.concatenate(points[i]),
+                        np.concatenate(descs[i])))
+        else:
+            out.append((np.zeros((0, 2), np.float32),
+                        np.zeros((0, 64), np.float32)))
+    return out
+
+
 def msop_extract_host(img_bgr: np.ndarray,
                       max_feat: Sequence[int] = MAX_FEAT):
     """Extract MSOP keypoints + 64-d descriptors for one image.
 
     Returns ``(kpts (N, 2) float32 full-res (x, y), desc (N, 64))``.
-    Device work per level is two dispatches (candidate top-k, batched
-    descriptors); only SSC — inherently sequential greedy suppression —
-    runs on host, over the compact candidate list.
+    Single-image wrapper over ``msop_extract_batch``.
     """
-    gray = bgr2gray(jnp.asarray(img_bgr.astype(np.float32)))  # 0..255
-    points, descs = [], []
-
-    cur = gray
-    for lvl, maxf in enumerate(max_feat):
-        h, w = cur.shape
-        vals, rows_d, cols_d, theta_d, blurred, nxt = _msop_level(
-            cur, maxf * 20)
-        vals = np.asarray(vals)
-        rows, cols = np.asarray(rows_d), np.asarray(cols_d)
-        thetas = np.asarray(theta_d)
-        valid = np.isfinite(vals)
-        rows, cols, thetas = rows[valid], cols[valid], thetas[valid]
-
-        sel = ssc(np.stack([cols, rows], axis=1).astype(np.float32),
-                  (w, h), maxf)
-        rows, cols, thetas = rows[sel], cols[sel], thetas[sel]
-
-        if len(rows):
-            # pad to power-of-two buckets: keypoint counts differ per
-            # image and level, and every distinct count would otherwise
-            # recompile the descriptor program
-            cap = max(64, 1 << (len(rows) - 1).bit_length())
-            pad = cap - len(rows)
-            desc = np.asarray(_oriented_descriptors(
-                blurred,
-                jnp.asarray(np.pad(rows, (0, pad))),
-                jnp.asarray(np.pad(cols, (0, pad))),
-                jnp.asarray(np.pad(thetas, (0, pad)))))[:len(rows)]
-            descs.append(desc)
-            scale = 2.0 ** lvl
-            points.append(np.stack([cols * scale, rows * scale],
-                                   axis=1).astype(np.float32))
-        cur = nxt
-
-    if not points:
-        return np.zeros((0, 2), np.float32), np.zeros((0, 64), np.float32)
-    return np.concatenate(points), np.concatenate(descs)
+    return msop_extract_batch([img_bgr], max_feat)[0]
 
 
-__all__ = ["DSIZE", "MAX_FEAT", "ssc", "msop_extract_host"]
+__all__ = ["DSIZE", "MAX_FEAT", "ssc", "msop_extract_host",
+           "msop_extract_batch"]

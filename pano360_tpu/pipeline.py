@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from pano360_tpu import match as pm
 from pano360_tpu.features import sift as S
-from pano360_tpu.features.msop import msop_extract_host
+from pano360_tpu.features.msop import msop_extract_batch
 from pano360_tpu.ops.color import bgr2gray
 
 LOG = logging.getLogger(__name__)
@@ -66,12 +66,14 @@ def detect_all(imgs: List[np.ndarray], detector: str = "sift",
     if not imgs:
         raise ValueError("no images to process (empty directory?)")
     if detector == "msop":
-        kpts, descs = [], []
-        for im in imgs:
-            k, d = msop_extract_host(im)
-            cent = np.array([im.shape[1] / 2, im.shape[0] / 2], np.float32)
-            kpts.append((k - cent).astype(np.float32))
-            descs.append(d.astype(np.float32))
+        kpts = [None] * len(imgs)
+        descs = [None] * len(imgs)
+        for shape, idxs in _shape_buckets(imgs).items():
+            batch = msop_extract_batch([imgs[i] for i in idxs])
+            cent = np.array([shape[1] / 2, shape[0] / 2], np.float32)
+            for i, (k, d) in zip(idxs, batch):
+                kpts[i] = (k - cent).astype(np.float32)
+                descs[i] = d.astype(np.float32)
         return kpts, descs
     cfg = S.SiftConfig(max_kpts=max_kpts)
     kpts = [None] * len(imgs)
@@ -109,6 +111,25 @@ def _gray_extract(stack_u8: jnp.ndarray, cfg: S.SiftConfig):
     return S.sift_extract(gray, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _gray_u8_extract(gray_u8: jnp.ndarray, cfg: S.SiftConfig):
+    return S.sift_extract(gray_u8.astype(jnp.float32) / 255.0, cfg)
+
+
+def _host_gray_u8(imgs: List[np.ndarray]) -> np.ndarray:
+    """Host BGR -> uint8 gray (cv2.COLOR_BGR2GRAY rounding semantics).
+
+    Matching only needs luma: shipping 1 byte/pixel instead of 3 cuts the
+    critical-path host->device transfer 3x (the relay link is ~86 MB/s, so
+    bytes ARE time). The uint8 quantization also matches the reference,
+    which feeds cv2 SIFT with uint8 gray (features.py:135).
+    """
+    stack = np.stack(imgs).astype(np.float32)
+    gray = (stack[..., 0] * 0.114 + stack[..., 1] * 0.587
+            + stack[..., 2] * 0.299)
+    return np.round(gray).astype(np.uint8)
+
+
 @jax.jit
 def _compact_buffers(kp_buf, ds_buf, sel, counts):
     """Gather the valid keypoint/descriptor rows to a smaller capacity."""
@@ -118,50 +139,78 @@ def _compact_buffers(kp_buf, ds_buf, sel, counts):
     return kp_c, ds_c, va_c
 
 
+class BucketStacks:
+    """Per-shape-bucket device image stacks (mixed-size inputs).
+
+    One device array cannot hold mixed shapes; this keeps one uint8 stack
+    per (H, W) bucket so the pixels are uploaded exactly once —
+    ``render.stitch`` consumes it by zero-padding each bucket to the max
+    shape ON DEVICE instead of re-uploading a host-padded stack.
+    """
+
+    def __init__(self, parts):
+        self.parts = parts      # list of (image indices, (B, h, w, 3) u8)
+        self.n = sum(len(idxs) for idxs, _ in parts)
+
+    def to_padded(self, h: int, w: int) -> jnp.ndarray:
+        """(N, h, w, 3) uint8 device stack, zero-padded, original order."""
+        rows, order = [], []
+        for idxs, stack in self.parts:
+            bh, bw = stack.shape[1:3]
+            rows.append(jnp.pad(stack, ((0, 0), (0, h - bh), (0, w - bw),
+                                        (0, 0))))
+            order.extend(idxs)
+        inv = np.argsort(np.asarray(order))
+        return jnp.concatenate(rows, axis=0)[inv]
+
+
 def upload_extract(imgs: List[np.ndarray], max_kpts: int = 4096,
                    n_batches: int = 4):
-    """Pipelined upload + SIFT extraction.
+    """Pipelined upload + SIFT extraction, gray-first.
 
-    Splits the image list into ``n_batches`` equal device batches and
-    interleaves async host->device transfers with the per-batch
-    extraction dispatches, so the upload of batch k+1 rides under the
-    SIFT compute of batch k (upload and extraction are each ~1-1.5 s at
-    benchmark scale on a relay-attached chip; overlapped they cost
-    max, not sum). Returns ``(stack (N, H, W, 3) uint8 device,
-    SiftFeatures batched over all N)``; the list is padded to a multiple
-    of the batch size by repeating the last image (one XLA compile) and
-    the padding is sliced off on device.
+    Matching needs only luma, so the critical path ships uint8 GRAY
+    (1 byte/pixel) in ``n_batches`` batches interleaved with the
+    per-batch SIFT dispatches; the 3x-larger BGR stack (needed only at
+    render time) is enqueued AFTER the extraction dispatches so its
+    transfer rides under matching/registration, syncing only when
+    ``render.stitch`` consumes it. Returns ``(stack (N, H, W, 3) uint8
+    device, SiftFeatures batched over all N)``; the list is padded to a
+    multiple of the batch size by repeating the last image (one XLA
+    compile) and the padding is sliced off on device.
 
     Mixed image shapes are handled by processing each shape bucket
-    through the same pipeline; the returned stack is then ``None`` (one
-    device array cannot hold mixed shapes — render.stitch pads its own).
+    through the same pipeline; the returned stack is then a
+    ``BucketStacks`` (pixels still uploaded exactly once —
+    render.stitch pads per bucket on device).
     """
     n = len(imgs)
     cfg = S.SiftConfig(max_kpts=max_kpts)
     buckets = _shape_buckets(imgs)
     if len(buckets) != 1:
-        feat_parts, order = [], []
+        feat_parts, order, parts = [], [], []
         for shape, idxs in buckets.items():
-            _, f = upload_extract([imgs[i] for i in idxs], max_kpts,
-                                  n_batches)
+            st, f = upload_extract([imgs[i] for i in idxs], max_kpts,
+                                   n_batches)
             feat_parts.append(f)
             order.extend(idxs)
+            parts.append((idxs, st))
         inv = np.argsort(np.asarray(order))
         feats = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0)[inv], *feat_parts)
-        return None, feats
+        return BucketStacks(parts), feats
     n_batches = max(1, min(n_batches, n))
     bs = -(-n // n_batches)
     n_batches = -(-n // bs)
     padded = list(imgs) + [imgs[-1]] * (n_batches * bs - n)
 
-    dev_batches, feat_batches = [], []
+    feat_batches = []
     for b in range(n_batches):
-        db = jax.device_put(np.stack(padded[b * bs:(b + 1) * bs]))
-        dev_batches.append(db)
-        feat_batches.append(_gray_extract(db, cfg))
+        gb = jax.device_put(_host_gray_u8(padded[b * bs:(b + 1) * bs]))
+        feat_batches.append(_gray_u8_extract(gb, cfg))
 
-    stack = jnp.concatenate(dev_batches, axis=0)[:n]
+    # color upload enqueued after the extraction dispatches: it is not
+    # needed until render, so its 3x bytes overlap matching/registration
+    stack = jax.device_put(np.stack(imgs))
     feats = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0)[:n], *feat_batches)
     return stack, feats
@@ -170,7 +219,7 @@ def upload_extract(imgs: List[np.ndarray], max_kpts: int = 4096,
 def matching(imgs: List[np.ndarray], detector: str = "sift",
              max_kpts: int = 4096, seed: int = 0,
              dev_images: Optional[jnp.ndarray] = None,
-             feats: Optional[S.SiftFeatures] = None):
+             feats: Optional[S.SiftFeatures] = None, mesh=None):
     """All-pairs feature matching (features.py:255-283 equivalent).
 
     Returns ``(kpts, matches)`` as numpy object arrays with the reference's
@@ -179,10 +228,14 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
     overlapped with extraction (``upload_extract``), then the whole match
     graph in a single device dispatch. ``feats``: optional precomputed
     ``SiftFeatures`` (from ``upload_extract``) to skip extraction.
+    ``mesh``: optional ``jax.sharding.Mesh`` ("data" axis) — extraction
+    shards over images and the O(N^2) match graph shards over pairs
+    (the production scale-out path, features.py:271-279's loop).
     """
     if not imgs:
         raise ValueError("no images to process (empty directory?)")
     n = len(imgs)
+    nd = int(mesh.devices.size) if mesh is not None else 1
     start = time.time()
 
     if detector == "msop":
@@ -198,8 +251,17 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
         remap = None
     else:
         if feats is None:
-            if dev_images is not None:
-                cfg = S.SiftConfig(max_kpts=max_kpts)
+            cfg = S.SiftConfig(max_kpts=max_kpts)
+            uniform = len({im.shape for im in imgs}) == 1
+            if mesh is not None and uniform:
+                # image-sharded extraction: pad N to a mesh multiple by
+                # repeating the last image, slice the replica rows off
+                from pano360_tpu.parallel import sharded_gray_extract
+                npad = -(-n // nd) * nd
+                stack = np.stack(list(imgs) + [imgs[-1]] * (npad - n))
+                feats = sharded_gray_extract(mesh, jnp.asarray(stack), cfg)
+                feats = jax.tree_util.tree_map(lambda a: a[:n], feats)
+            elif dev_images is not None and hasattr(dev_images, "shape"):
                 feats = _gray_extract(dev_images, cfg)
             else:
                 _, feats = upload_extract(imgs, max_kpts)
@@ -240,15 +302,25 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
 
     pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
     start = time.time()
-    keys = jax.random.split(jax.random.key(seed), max(len(pairs), 1))
+    p_pad = max(len(pairs), 1)
+    if mesh is not None:           # equal pair shards per device
+        p_pad = -(-p_pad // nd) * nd
+    keys = jax.random.split(jax.random.key(seed), p_pad)
 
     # all pairs in one dispatch (lax.map chunks internally to bound the
     # distance-matrix memory), one host sync for the whole match graph
     batch = max(1, min(16, (1 << 28) // max(cap * cap * 4, 1)))
-    pa = jnp.asarray([p[0] for p in pairs], jnp.int32)
-    pb = jnp.asarray([p[1] for p in pairs], jnp.int32)
-    res_dev = pm.match_all_pairs(kp_buf, ds_buf, va_buf, pa, pb, keys,
-                                 batch_size=batch)
+    pa = jnp.asarray([p[0] for p in pairs] + [0] * (p_pad - len(pairs)),
+                     jnp.int32)
+    pb = jnp.asarray([p[1] for p in pairs] + [0] * (p_pad - len(pairs)),
+                     jnp.int32)
+    if mesh is not None:
+        from pano360_tpu.parallel import sharded_match_all_pairs
+        res_dev = sharded_match_all_pairs(mesh, kp_buf, ds_buf, va_buf,
+                                          pa, pb, keys, batch_size=batch)
+    else:
+        res_dev = pm.match_all_pairs(kp_buf, ds_buf, va_buf, pa, pb, keys,
+                                     batch_size=batch)
     res_np = jax.tree_util.tree_map(np.asarray, res_dev)
 
     matches: Dict[int, Dict[int, tuple]] = {i: {} for i in range(n)}
@@ -290,4 +362,4 @@ def idx_to_keypoints(matches, kpts):
 
 
 __all__ = ["detect_all", "matching", "idx_to_keypoints", "to_device",
-           "upload_extract"]
+           "upload_extract", "BucketStacks"]

@@ -514,6 +514,12 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     shapes = np.array([r.img.shape[:2] for r in regions])
     uniform = bool((shapes == shapes[0]).all())
     h, w = int(shapes[:, 0].max()), int(shapes[:, 1].max())
+    if dev_images is not None and hasattr(dev_images, "to_padded"):
+        # BucketStacks from upload_extract (mixed shapes): the pixels are
+        # already device-resident per bucket; zero-pad them to the max
+        # shape ON DEVICE instead of re-uploading a host-padded stack
+        dev_images = (dev_images.to_padded(h, w)
+                      if dev_images.n == n else None)
     if dev_images is not None and dev_images.shape[0] == n:
         dev_imgs = dev_images.astype(jnp.float32) / 255.0
     elif uniform:

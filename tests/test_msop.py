@@ -5,7 +5,8 @@ import pytest
 pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
 
 from pano360_tpu import synth
-from pano360_tpu.features.msop import msop_extract_host, ssc
+from pano360_tpu.features.msop import (msop_extract_batch,
+                                       msop_extract_host, ssc)
 from pano360_tpu.cli import build_parser, run
 
 
@@ -19,6 +20,17 @@ class TestMsop:
         assert abs(float(desc.mean())) < 0.05
         h, w = 160, 200
         assert (kpts[:, 0] < w).all() and (kpts[:, 1] < h).all()
+
+    def test_batch_matches_single(self):
+        """The batched path (one vmapped dispatch per level for all
+        images) must reproduce the per-image results."""
+        imgs, _, _ = synth.make_views(n_views=3, shape=(160, 200), seed=7)
+        imgs = [(im * 255).astype(np.uint8) for im in imgs]
+        batch = msop_extract_batch(imgs)
+        for im, (kb, db) in zip(imgs, batch):
+            ks, ds = msop_extract_host(im)
+            np.testing.assert_allclose(kb, ks, atol=1e-4)
+            np.testing.assert_allclose(db, ds, atol=1e-4)
 
     def test_ssc_homogeneous(self):
         rng = np.random.default_rng(3)
