@@ -198,8 +198,11 @@ def upload_extract(imgs: List[np.ndarray], max_kpts: int = 4096,
         feats = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0)[inv], *feat_parts)
         return BucketStacks(parts), feats
-    n_batches = max(1, min(n_batches, n))
-    bs = -(-n // n_batches)
+    # FIXED batch size (not count): the SIFT program is keyed by the
+    # batch shape, so a fixed (4, H, W) is one compile for every image
+    # count at a given resolution (ceil(n/4) was a fresh compile per
+    # distinct n). The tail batch repeats the last image.
+    bs = max(1, min(4, n))
     n_batches = -(-n // bs)
     padded = list(imgs) + [imgs[-1]] * (n_batches * bs - n)
 
@@ -258,8 +261,8 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
                 # repeating the last image, slice the replica rows off
                 from pano360_tpu.parallel import sharded_gray_extract
                 npad = -(-n // nd) * nd
-                stack = np.stack(list(imgs) + [imgs[-1]] * (npad - n))
-                feats = sharded_gray_extract(mesh, jnp.asarray(stack), cfg)
+                gray = _host_gray_u8(list(imgs) + [imgs[-1]] * (npad - n))
+                feats = sharded_gray_extract(mesh, jnp.asarray(gray), cfg)
                 feats = jax.tree_util.tree_map(lambda a: a[:n], feats)
             elif dev_images is not None and hasattr(dev_images, "shape"):
                 feats = _gray_extract(dev_images, cfg)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -276,25 +277,38 @@ def _np_hom_to_from(c1: PanoImage, c2: PanoImage) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("ph", "pw", "projection"))
 def backward_warp_all(imgs, projs, bottoms, resolution, range_min,
                       ph: int, pw: int, projection=geo.SphProj,
-                      shapes: Optional[jnp.ndarray] = None):
+                      shapes: Optional[jnp.ndarray] = None,
+                      wins: Optional[jnp.ndarray] = None):
     """Backward-warp every region into its bbox-padded patch.
 
     imgs: (N, H, W, 4); projs: (N, 3, 3) = K R; bottoms: (N, 2) int patch
     origins in mosaic pixels; resolution/range_min: (2,); ``shapes``:
     optional per-image true (h, w) when the stack is padded to a common
-    max shape. Returns (patches (N, ph, pw, 4), invalid (N, ph, pw)).
+    max shape; ``wins``: optional (N, 4) [lo_x, lo_y, hi_x, hi_y] true
+    region windows in mosaic pixels — pixels outside [lo, hi) are marked
+    invalid. Required whenever the common (ph, pw) patch shape is padded
+    past a region's extent (compile-shape bucketing): the reference
+    (stitcher.py:288-319) only renders inside each region's own bbox, so
+    content the enlarged window can see past ``top`` must be masked off
+    to keep paste parity. Returns (patches (N, ph, pw, 4),
+    invalid (N, ph, pw)).
     """
     n, h, w, _ = imgs.shape
     if shapes is None:
         shapes = jnp.broadcast_to(jnp.asarray([h, w], jnp.float32), (n, 2))
+    if wins is None:
+        wins = jnp.broadcast_to(
+            jnp.asarray([-1.0, -1.0, np.inf, np.inf], jnp.float32), (n, 4))
 
     y_i, x_i = jnp.meshgrid(jnp.arange(ph, dtype=jnp.float32),
                             jnp.arange(pw, dtype=jnp.float32), indexing="ij")
 
-    def one(img, proj, bottom, hw):
+    def one(img, proj, bottom, hw, win):
         hh, ww = hw[0], hw[1]
-        xs = (x_i + bottom[0]) * resolution[0] + range_min[0]
-        ys = (y_i + bottom[1]) * resolution[1] + range_min[1]
+        px = x_i + bottom[0]
+        py = y_i + bottom[1]
+        xs = px * resolution[0] + range_min[0]
+        ys = py * resolution[1] + range_min[1]
         rays = projection.proj2hom(jnp.stack([xs, ys], axis=-1))
         xx = jnp.einsum("ij,hwj->hwi", proj.astype(jnp.float32), rays,
                         precision=jax.lax.Precision.HIGHEST)
@@ -303,12 +317,15 @@ def backward_warp_all(imgs, projs, bottoms, resolution, range_min,
         y_pr = xx[..., 1] / xx[..., 2] + hh / 2
         mask |= ((x_pr < 0) | (x_pr > ww - 1)
                  | (y_pr < 0) | (y_pr > hh - 1))
+        mask |= ((px < win[0]) | (py < win[1])
+                 | (px >= win[2]) | (py >= win[3]))
         warped = remap_bilinear(img, x_pr, y_pr, border="reflect")
         warped = warped.at[..., 3].set(warped[..., 3] * (~mask))
         return warped, mask
 
     return jax.vmap(one)(imgs, projs, bottoms.astype(jnp.float32),
-                         shapes.astype(jnp.float32))
+                         shapes.astype(jnp.float32),
+                         wins.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -439,12 +456,30 @@ BLENDERS = {
                                              "blender", "shape"))
 def _warp_and_blend(imgs_rgba, projs, bottoms, resolution, range_min,
                     ph: int, pw: int, shape: Tuple[int, int],
-                    blender: str, projection=geo.SphProj, shapes=None):
+                    blender: str, projection=geo.SphProj, shapes=None,
+                    wins=None):
     """Backward warp + blend in ONE dispatch (the 60-MB patch tensor
     stays in HBM and the host saves a ~30 ms relay round trip)."""
     patches, invalid = backward_warp_all(
         imgs_rgba, projs, bottoms, resolution, range_min, ph, pw,
-        projection, shapes)
+        projection, shapes, wins)
+    return BLENDERS[blender](patches, invalid, bottoms, shape), invalid
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "blender"))
+def _mask_and_blend(patches, invalid, bottoms, wins, shape, blender):
+    """Apply the true-window mask (see ``backward_warp_all``) to patches
+    produced elsewhere (the Pallas kernel), then blend — one dispatch."""
+    n, ph, pw, _ = patches.shape
+    py = (bottoms[:, 1, None, None].astype(jnp.float32)
+          + jnp.arange(ph, dtype=jnp.float32)[None, :, None])
+    px = (bottoms[:, 0, None, None].astype(jnp.float32)
+          + jnp.arange(pw, dtype=jnp.float32)[None, None, :])
+    outside = ((px < wins[:, 0, None, None]) | (py < wins[:, 1, None, None])
+               | (px >= wins[:, 2, None, None])
+               | (py >= wins[:, 3, None, None]))
+    invalid = invalid | outside
+    patches = patches.at[..., 3].set(patches[..., 3] * (~invalid))
     return BLENDERS[blender](patches, invalid, bottoms, shape), invalid
 
 
@@ -464,10 +499,10 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
     from jax.sharding import PartitionSpec as P
 
     def local(imgs_rgba, projs, bottoms_sh, bottoms_full, resolution,
-              range_min, shapes_sh):
+              range_min, shapes_sh, wins_sh):
         patches, invalid = backward_warp_all(
             imgs_rgba, projs, bottoms_sh, resolution, range_min, ph, pw,
-            projection, shapes_sh)
+            projection, shapes_sh, wins_sh)
         gather = functools.partial(jax.lax.all_gather, axis_name="data",
                                    tiled=True)
         patches = gather(patches)[:n_true]
@@ -478,7 +513,7 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
 
     sm = shard_map(local, mesh=mesh,
                    in_specs=(P("data"), P("data"), P("data"), P(), P(),
-                             P(), P("data")),
+                             P(), P("data"), P("data")),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(sm)
 
@@ -575,6 +610,28 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     # one padded patch shape for all regions (static under jit)
     ph = int((tops[:, 1] - bottoms[:, 1]).max())
     pw = int((tops[:, 0] - bottoms[:, 0]).max())
+    # compile-shape bucketing: the mosaic canvas is padded to 64-px
+    # multiples and the patch windows to 32-px multiples (the canvas
+    # padding is sliced off after blending). The true extent bounds
+    # every region's projection, so the padding never receives content;
+    # in exchange, runs whose scene spread differs slightly (same rig,
+    # different scene) reuse one warp+blend program instead of
+    # recompiling per mosaic shape. Canvas padding costs only a few
+    # mosaic-sized VPU passes; patch padding costs warp+blur area, hence
+    # the finer 32-px grain (<=16% overhead vs <=33% at 64).
+    out_h, out_w = shape
+    if os.environ.get("P360_BUCKET_CANVAS", "1") == "1":
+        shape = (-(-shape[0] // 64) * 64, -(-shape[1] // 64) * 64)
+    if os.environ.get("P360_BUCKET_PATCH", "1") == "1":
+        ph = -(-ph // 32) * 32
+        pw = -(-pw // 32) * 32
+    # true per-region windows [lo_x, lo_y, hi_x, hi_y): whenever padding
+    # or the shared (ph, pw) enlarges a patch past its region's own bbox,
+    # the warp masks the excess so it receives no content (the reference
+    # renders strictly inside each bbox; without this, padded windows
+    # paint real backward-projected content into mosaic rows/cols the
+    # reference leaves empty — a 43 dB paste-parity regression).
+    wins = np.concatenate([bottoms, tops], axis=1)
     # clamp: a patch window must fit inside the mosaic for dynamic slicing
     ph, pw = min(ph, shape[0]), min(pw, shape[1])
     bottoms[:, 0] = np.clip(bottoms[:, 0], 0, shape[1] - pw)
@@ -594,6 +651,8 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             [bottoms, np.zeros((npad - n, 2), bottoms.dtype)])
         shapes_pad = np.concatenate(
             [shapes, np.broadcast_to(np.array([h, w]), (npad - n, 2))])
+        wins_pad = np.concatenate(
+            [wins, np.full((npad - n, 4), -1, wins.dtype)])
         fn = _warp_and_blend_mesh_fn(mesh, ph, pw, shape, blender, proj, n)
         mosaic, invalid = fn(
             imgs_pad, jnp.asarray(projs_pad, jnp.float32),
@@ -601,8 +660,9 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
             jnp.asarray(im_range[0], jnp.float32),
-            jnp.asarray(shapes_pad, jnp.float32))
-        mosaic = np.asarray(mosaic)
+            jnp.asarray(shapes_pad, jnp.float32),
+            jnp.asarray(wins_pad, jnp.float32))
+        mosaic = np.asarray(mosaic)[:out_h, :out_w]
         if crop:
             LOG.debug("Cropping...")
             valid = np.zeros(shape, bool)
@@ -611,7 +671,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
                 x0, y0 = bottoms[k]
                 valid[y0:y0 + ph, x0:x0 + pw] |= ~inv[k]
             from pano360_tpu.native import crop_mosaic
-            mosaic = crop_mosaic(mosaic, valid)
+            mosaic = crop_mosaic(mosaic, valid[:out_h, :out_w])
         return mosaic
 
     patches = invalid = None
@@ -620,14 +680,15 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         from pano360_tpu.ops import pallas_warp as PW
         origins, ok, win_y, win_x, n_levels = PW.plan_windows(
             projs, bottoms, resolution, im_range[0], (h, w), ph, pw)
-        # Auto policy: the kernel is exact and measured faster than the
-        # XLA gather whenever level-0 windows fit (n_levels == 1). Under
-        # heavy minification it stays ELIGIBLE through mip levels, but
-        # (a) mip sampling is a better-filtered approximation, not the
-        # reference's raw bilinear, and (b) the one-hot sampling matmuls
-        # scale with window area, so the gather path measures faster
-        # there — auto mode keeps exact parity; pass use_pallas=True to
-        # force the anti-aliased mip kernel.
+        # Auto policy: the kernel runs whenever it is EXACT, i.e. all
+        # level-0 windows fit (n_levels == 1) — measured 2.26x the XLA
+        # gather there (62 vs 140 ms, 120 dB agreement; WARP.json).
+        # Under heavy minification it stays eligible through mip levels
+        # and still measures slightly faster (157 vs 184 ms at the
+        # capped bench scene), but mip sampling is a better-filtered
+        # approximation (40 dB vs raw bilinear), not the reference's
+        # semantics — auto mode keeps exact parity; pass use_pallas=True
+        # to force the anti-aliased mip kernel.
         if ok and (n_levels == 1 or use_pallas is True):
             mips = PW.build_mips(jnp.moveaxis(imgs_rgba, -1, 1), n_levels,
                                  win_y, win_x)
@@ -648,11 +709,13 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
             jnp.asarray(im_range[0], jnp.float32), ph, pw, shape,
-            blender, projection=proj, shapes=shapes_dev)
+            blender, projection=proj, shapes=shapes_dev,
+            wins=jnp.asarray(wins, jnp.float32))
     else:
-        mosaic = BLENDERS[blender](patches, invalid,
-                                   jnp.asarray(bottoms, jnp.int32), shape)
-    mosaic = np.asarray(mosaic)
+        mosaic, invalid = _mask_and_blend(
+            patches, invalid, jnp.asarray(bottoms, jnp.int32),
+            jnp.asarray(wins, jnp.float32), shape, blender)
+    mosaic = np.asarray(mosaic)[:out_h, :out_w]
 
     if crop:
         LOG.debug("Cropping...")
@@ -662,7 +725,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             x0, y0 = bottoms[k]
             valid[y0:y0 + ph, x0:x0 + pw] |= ~inv[k]
         from pano360_tpu.native import crop_mosaic
-        mosaic = crop_mosaic(mosaic, valid)
+        mosaic = crop_mosaic(mosaic, valid[:out_h, :out_w])
 
     return mosaic
 
