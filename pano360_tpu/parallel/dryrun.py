@@ -49,9 +49,10 @@ def provision(n_devices: int) -> None:
 def run(n_devices: int) -> None:
     """Run the PRODUCTION pipeline (matching -> traverse -> stitch) over
     an n-device mesh on tiny shapes and assert the mosaic matches the
-    single-device run of the same functions (>= 50 dB PSNR; the only
-    permitted divergence is psum reduction order in the bundle
-    adjuster's normal equations)."""
+    single-device run of the same functions (>= 50 dB PSNR; features and
+    matches are bit-identical, and the bundle adjuster's deterministic
+    grouped reduction — register._group_reduce — keeps the remaining
+    divergence at the last-ulp level, measured >= 70 dB)."""
     import numpy as np
     import jax
 

@@ -6,9 +6,13 @@ the honest TPU-native scale-out axes are:
 - **data-parallel over images** for feature extraction (each chip runs the
   batched SIFT on its shard of the view list);
 - **data-parallel over pairs/edges** for matching and for the bundle
-  adjuster's normal equations, reduced with ``psum`` over ICI — the classic
-  distributed Gauss-Newton: every chip computes J^T J / J^T r for its edge
-  shard, the (6C)^2 system is psum-reduced and solved replicated.
+  adjuster's normal equations — the classic distributed Gauss-Newton:
+  every chip computes J^T J / J^T r for its edge shard, the (6C)^2
+  system is reduced over ICI and solved replicated. The production
+  traverse reduces via ordered all-gathered partials
+  (``register._group_reduce``) so the mesh run is deterministic and
+  matches single-device to the last ulp; the ``distributed_lm_stats``
+  building-block demo below shows the plain psum form.
 
 Everything rides ``shard_map`` over a 1-D ``Mesh(("data",))``; no DCN-level
 machinery is needed at panorama scale.
@@ -105,11 +109,8 @@ def distributed_lm_stats(mesh: Mesh, params, cam1_idx, cam2_idx, pts, mask):
 
 @functools.lru_cache(maxsize=None)
 def _gray_extract_fn(mesh: Mesh, cfg: S.SiftConfig):
-    from pano360_tpu.ops.color import bgr2gray
-
-    def local(s):
-        gray = bgr2gray(s.astype(jnp.float32) / 255.0)
-        f = S.sift_extract(gray, cfg)
+    def local(g):
+        f = S.sift_extract(g.astype(jnp.float32) / 255.0, cfg)
         gather = functools.partial(jax.lax.all_gather, axis_name="data",
                                    tiled=True)
         return jax.tree_util.tree_map(gather, f)
@@ -118,14 +119,16 @@ def _gray_extract_fn(mesh: Mesh, cfg: S.SiftConfig):
                              out_specs=P(), check_vma=False))
 
 
-def sharded_gray_extract(mesh: Mesh, stack_u8: jnp.ndarray,
+def sharded_gray_extract(mesh: Mesh, gray_u8: jnp.ndarray,
                          cfg: S.SiftConfig):
-    """The production extraction program (uint8 BGR -> gray -> SIFT) with
-    the image axis sharded over the mesh. Same compute as
-    ``pipeline._gray_extract``; features come back replicated
-    (all-gathered) for host match-graph assembly. N must be a multiple of
-    the mesh size (pipeline.matching pads by repeating the last image)."""
-    return _gray_extract_fn(mesh, cfg)(stack_u8)
+    """The production extraction program (uint8 GRAY -> SIFT) with the
+    image axis sharded over the mesh. Same compute (and same host-side
+    cv2-rounded gray input) as ``pipeline._gray_u8_extract``, so features
+    are bit-identical to the single-device path; they come back
+    replicated (all-gathered) for host match-graph assembly. N must be a
+    multiple of the mesh size (pipeline.matching pads by repeating the
+    last image)."""
+    return _gray_extract_fn(mesh, cfg)(gray_u8)
 
 
 @functools.lru_cache(maxsize=None)

@@ -117,6 +117,46 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+# Deterministic two-stage reduction: the edge axis is always reduced as
+# EDGE_GROUPS ordered partial sums (see _group_reduce). A mesh sharding
+# the edge axis must use a device count that divides EDGE_GROUPS.
+EDGE_GROUPS = 16
+
+
+def _group_reduce(parts, axis_name):
+    """Ordered hierarchical sum of per-group partial LM stats.
+
+    ``parts``: pytree of ``(g, ...)`` per-group partials — ``g ==
+    EDGE_GROUPS`` single-device, ``EDGE_GROUPS/n_devices`` per device
+    under ``shard_map`` (contiguous groups, matching the P("data") shard
+    order). The mesh path all-gathers the partials (deterministic,
+    device-ordered) so every device — and the single-device program —
+    performs THE SAME ordered (EDGE_GROUPS, ...) -> (...) sum.
+
+    This replaces ``psum`` for the bundle adjuster: psum's cross-device
+    reduction order is unspecified, and the f32 rounding difference,
+    amplified through the LM accept/reject trajectory, left the mesh and
+    single-chip runs at measurably different optima (~1.5e-4 relative
+    focal ==> ~48 dB mosaic disagreement at dryrun scale). With the
+    ordered reduction the normal equations — and therefore the whole
+    traverse trajectory — are bit-identical between the two paths
+    (asserted by test_parallel and the multichip dryrun)."""
+    if axis_name:
+        gather = functools.partial(jax.lax.all_gather,
+                                   axis_name=axis_name, tiled=True)
+        parts = jax.tree_util.tree_map(gather, parts)
+    return jax.tree_util.tree_map(lambda p: jnp.sum(p, axis=0), parts)
+
+
+def _grouped(body, cam1_idx, cam2_idx, pts, mask, gsize):
+    """vmap ``body`` over contiguous edge groups of static size ``gsize``."""
+    g = cam1_idx.shape[0] // gsize
+    return jax.vmap(body)(cam1_idx.reshape(g, gsize),
+                          cam2_idx.reshape(g, gsize),
+                          pts.reshape((g, gsize) + pts.shape[1:]),
+                          mask.reshape((g, gsize) + mask.shape[1:]))
+
+
 def _point_residual(pa: jnp.ndarray, pb: jnp.ndarray, pt: jnp.ndarray):
     """Residual of one match point w.r.t. the two cameras' 6-params.
 
@@ -139,71 +179,89 @@ def _point_residual(pa: jnp.ndarray, pb: jnp.ndarray, pt: jnp.ndarray):
 _point_jac = jax.jacfwd(_point_residual, argnums=(0, 1))
 
 
-def _lm_stats_local(params, cam1_idx, cam2_idx, pts, mask, axis_name=None):
+def _lm_stats_local(params, cam1_idx, cam2_idx, pts, mask, axis_name=None,
+                    gsize=None):
     """One LM linearization: loss stats + normal equations.
 
     params: (C, 6); cam1_idx/cam2_idx: (E,) int32; pts: (E, M, 6);
     mask: (E, M) float. Returns (sq_sum, n_terms, jtj (6C, 6C), jtr (6C,)).
-    With ``axis_name`` the edge axis is a shard and the accumulated stats
-    are psum-reduced over the mesh (distributed Gauss-Newton over ICI).
+    ``gsize`` (static): edges per reduction group — the edge axis is
+    reduced as ordered per-group partial sums (``_group_reduce``) so the
+    mesh-sharded and single-device programs accumulate in the same order.
+    With ``axis_name`` the edge inputs are a ``shard_map`` shard and the
+    partials are all-gathered over the mesh before the ordered sum
+    (distributed Gauss-Newton over ICI).
     """
     c = params.shape[0]
-    pa = params[cam1_idx]                       # (E, 6)
-    pb = params[cam2_idx]
 
-    res = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
-                   in_axes=(0, 0, 0))(pa, pb, pts)          # (E, M, 2)
-    ja, jb = jax.vmap(jax.vmap(_point_jac, in_axes=(None, None, 0)),
-                      in_axes=(0, 0, 0))(pa, pb, pts)       # (E, M, 2, 6)
+    def body(c1, c2, ptsg, maskg):
+        pa = params[c1]                             # (e, 6)
+        pb = params[c2]
+        res = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
+                       in_axes=(0, 0, 0))(pa, pb, ptsg)      # (e, M, 2)
+        ja, jb = jax.vmap(jax.vmap(_point_jac, in_axes=(None, None, 0)),
+                          in_axes=(0, 0, 0))(pa, pb, ptsg)   # (e, M, 2, 6)
 
-    res = res * mask[..., None]
-    ja = ja * mask[..., None, None]
-    jb = jb * mask[..., None, None]
+        res = res * maskg[..., None]
+        ja = ja * maskg[..., None, None]
+        jb = jb * maskg[..., None, None]
 
-    sq_sum = jnp.sum(res * res)
-    n_terms = 2.0 * jnp.sum(mask)
+        sq_sum = jnp.sum(res * res)
+        n_terms = 2.0 * jnp.sum(maskg)
 
-    prec = jax.lax.Precision.HIGHEST
-    jaa = jnp.einsum("emri,emrj->eij", ja, ja, precision=prec)  # (E, 6, 6)
-    jbb = jnp.einsum("emri,emrj->eij", jb, jb, precision=prec)
-    jab = jnp.einsum("emri,emrj->eij", ja, jb, precision=prec)
-    ra = jnp.einsum("emri,emr->ei", ja, res, precision=prec)    # (E, 6)
-    rb = jnp.einsum("emri,emr->ei", jb, res, precision=prec)
+        prec = jax.lax.Precision.HIGHEST
+        jaa = jnp.einsum("emri,emrj->eij", ja, ja, precision=prec)
+        jbb = jnp.einsum("emri,emrj->eij", jb, jb, precision=prec)
+        jab = jnp.einsum("emri,emrj->eij", ja, jb, precision=prec)
+        ra = jnp.einsum("emri,emr->ei", ja, res, precision=prec)   # (e, 6)
+        rb = jnp.einsum("emri,emr->ei", jb, res, precision=prec)
 
-    jtj = jnp.zeros((c, c, 6, 6), params.dtype)
-    jtj = jtj.at[cam1_idx, cam1_idx].add(jaa)
-    jtj = jtj.at[cam2_idx, cam2_idx].add(jbb)
-    jtj = jtj.at[cam1_idx, cam2_idx].add(jab)
-    jtj = jtj.at[cam2_idx, cam1_idx].add(jnp.swapaxes(jab, -1, -2))
-    jtj = jnp.transpose(jtj, (0, 2, 1, 3)).reshape(6 * c, 6 * c)
+        jtj = jnp.zeros((c, c, 6, 6), params.dtype)
+        jtj = jtj.at[c1, c1].add(jaa)
+        jtj = jtj.at[c2, c2].add(jbb)
+        jtj = jtj.at[c1, c2].add(jab)
+        jtj = jtj.at[c2, c1].add(jnp.swapaxes(jab, -1, -2))
+        jtj = jnp.transpose(jtj, (0, 2, 1, 3)).reshape(6 * c, 6 * c)
 
-    jtr = jnp.zeros((c, 6), params.dtype)
-    jtr = jtr.at[cam1_idx].add(ra)
-    jtr = jtr.at[cam2_idx].add(rb)
-    return (_psum(sq_sum, axis_name), _psum(n_terms, axis_name),
-            _psum(jtj, axis_name), _psum(jtr.reshape(-1), axis_name))
+        jtr = jnp.zeros((c, 6), params.dtype)
+        jtr = jtr.at[c1].add(ra)
+        jtr = jtr.at[c2].add(rb)
+        return sq_sum, n_terms, jtj, jtr.reshape(-1)
 
-
-_lm_stats = functools.partial(jax.jit, static_argnames=("axis_name",))(
-    _lm_stats_local)
-
-
-def _loss_stats_local(params, cam1_idx, cam2_idx, pts, mask, axis_name=None):
-    pa = params[cam1_idx]
-    pb = params[cam2_idx]
-    res = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
-                   in_axes=(0, 0, 0))(pa, pb, pts)
-    res = res * mask[..., None]
-    return (_psum(jnp.sum(res * res), axis_name),
-            _psum(2.0 * jnp.sum(mask), axis_name))
+    e = cam1_idx.shape[0]
+    if gsize is None or gsize >= e:
+        gsize = e                  # one group (exact legacy reduction)
+    parts = _grouped(body, cam1_idx, cam2_idx, pts, mask, gsize)
+    return _group_reduce(parts, axis_name)
 
 
-_loss_stats = functools.partial(jax.jit, static_argnames=("axis_name",))(
-    _loss_stats_local)
+_lm_stats = functools.partial(
+    jax.jit, static_argnames=("axis_name", "gsize"))(_lm_stats_local)
+
+
+def _loss_stats_local(params, cam1_idx, cam2_idx, pts, mask, axis_name=None,
+                      gsize=None):
+    def body(c1, c2, ptsg, maskg):
+        pa = params[c1]
+        pb = params[c2]
+        res = jax.vmap(jax.vmap(_point_residual, in_axes=(None, None, 0)),
+                       in_axes=(0, 0, 0))(pa, pb, ptsg)
+        res = res * maskg[..., None]
+        return jnp.sum(res * res), 2.0 * jnp.sum(maskg)
+
+    e = cam1_idx.shape[0]
+    if gsize is None or gsize >= e:
+        gsize = e
+    parts = _grouped(body, cam1_idx, cam2_idx, pts, mask, gsize)
+    return _group_reduce(parts, axis_name)
+
+
+_loss_stats = functools.partial(
+    jax.jit, static_argnames=("axis_name", "gsize"))(_loss_stats_local)
 
 
 def _lm_core(params0, cam1_idx, cam2_idx, pts, mask,
-             max_iter: int = LM_MAX_ITER, axis_name=None):
+             max_iter: int = LM_MAX_ITER, axis_name=None, gsize=None):
     """Full LM loop fused on device (traceable; see ``_lm_optimize``).
 
     The host-loop variant pays a device round-trip per iteration — with
@@ -220,7 +278,7 @@ def _lm_core(params0, cam1_idx, cam2_idx, pts, mask,
 
     def loss_of(p):
         sq, n = _loss_stats_local(p, cam1_idx, cam2_idx, pts, mask,
-                                  axis_name)
+                                  axis_name, gsize)
         return jnp.sqrt(sq / jnp.maximum(n, 1.0))
 
     def cond(state):
@@ -237,7 +295,7 @@ def _lm_core(params0, cam1_idx, cam2_idx, pts, mask,
     def body(state):
         it, stalls, cur, best, best_err = state
         sq, n, jtj, jtr = _lm_stats_local(cur, cam1_idx, cam2_idx, pts,
-                                          mask, axis_name)
+                                          mask, axis_name, gsize)
         jtj = jtj + LM_LAMBDA * jnp.eye(nc6, dtype=jtj.dtype)
         d = jax.lax.rsqrt(jnp.diagonal(jtj) + 1e-12)
         a = jtj * d[:, None] * d[None, :]
@@ -265,11 +323,11 @@ def _lm_core(params0, cam1_idx, cam2_idx, pts, mask,
 
 
 _lm_optimize = functools.partial(
-    jax.jit, static_argnames=("max_iter", "axis_name"))(_lm_core)
+    jax.jit, static_argnames=("max_iter", "axis_name", "gsize"))(_lm_core)
 
 
 def _lm_polish(params0, cam1_idx, cam2_idx, pts, mask, max_iter: int = 150,
-               axis_name=None):
+               axis_name=None, gsize=None):
     """Adaptive-damping LM polish past the reference's fixed-lambda stop.
 
     The reference's schedule (lambda=5 fixed, stop when a step improves by
@@ -284,15 +342,15 @@ def _lm_polish(params0, cam1_idx, cam2_idx, pts, mask, max_iter: int = 150,
     0.032 deg vs ground truth, matching the CPU reference's registration
     accuracy. Runs once on the final problem, inside the same dispatch.
     The long reject budget and the 1e-5 lambda floor push to the
-    f32 stationary point, which also pins the mesh-sharded and
-    single-device runs to the same optimum (>=65 dB mosaic agreement in
-    the multichip dryrun vs ~47 dB with an early stop).
+    f32 stationary point. (Mesh/single-device agreement does NOT rely on
+    this: the ordered ``_group_reduce`` accumulation makes the two
+    trajectories bit-identical.)
     """
     nc6 = params0.shape[0] * 6
 
     def loss_of(p):
         sq, n = _loss_stats_local(p, cam1_idx, cam2_idx, pts, mask,
-                                  axis_name)
+                                  axis_name, gsize)
         return jnp.sqrt(sq / jnp.maximum(n, 1.0))
 
     def cond(state):
@@ -302,7 +360,7 @@ def _lm_polish(params0, cam1_idx, cam2_idx, pts, mask, max_iter: int = 150,
     def body(state):
         it, rejects, lam, cur, best, best_err = state
         _, _, jtj, jtr = _lm_stats_local(cur, cam1_idx, cam2_idx, pts,
-                                         mask, axis_name)
+                                         mask, axis_name, gsize)
         a = jtj + lam * jnp.eye(nc6, dtype=jtj.dtype)
         d = jax.lax.rsqrt(jnp.diagonal(a) + 1e-12)
         delta = (jnp.linalg.solve(a * d[:, None] * d[None, :], jtr * d)
@@ -328,7 +386,7 @@ def _traverse_impl(params0, seed_idx, place_dst, place_src, homs,
                    homs_all, placed_idx, cam1_idx, cam2_idx, pts, mask,
                    edge_add, mode: str, use_straighten: bool = True,
                    max_iter: int = LM_MAX_ITER, polish: bool = True,
-                   axis_name=None):
+                   axis_name=None, gsize=None):
     """The ENTIRE incremental registration schedule in one dispatch.
 
     The reference's traverse (bundle_adj.py:348-395) interleaves host graph
@@ -356,9 +414,11 @@ def _traverse_impl(params0, seed_idx, place_dst, place_src, homs,
     ``polish=False`` stops exactly where the reference's fixed-lambda
     schedule stops (bundle_adj.py:311-345) — the trajectory-parity mode;
     the default continues with ``_lm_polish``. With ``axis_name`` the
-    edge-dimension inputs are shards of a ``shard_map`` over the mesh
-    and every loss/normal-equation reduction rides a psum; per-edge
-    state (gating, masks) stays local to its shard.
+    edge-dimension inputs are shards of a ``shard_map`` over the mesh;
+    per-edge state (gating, masks) stays local to its shard and every
+    loss/normal-equation reduction all-gathers ordered per-group
+    partials (``_group_reduce``, ``gsize`` edges per group) so the SPMD
+    trajectory is bit-identical to the single-device one.
     """
     focal = _median_focal(homs_all)
     intr = geo.intrinsics(focal).astype(params0.dtype)
@@ -394,7 +454,7 @@ def _traverse_impl(params0, seed_idx, place_dst, place_src, homs,
         if mode == "incr":
             params, _, _ = _lm_core(params, cam1_idx, cam2_idx, pts,
                                     mask * enabled[:, None], max_iter,
-                                    axis_name)
+                                    axis_name, gsize)
         return (params, enabled), None
 
     a = place_dst.shape[0]
@@ -404,11 +464,12 @@ def _traverse_impl(params0, seed_idx, place_dst, place_src, homs,
     if mode == "last":
         params, _, _ = _lm_core(params, cam1_idx, cam2_idx, pts,
                                 mask * enabled[:, None], max_iter,
-                                axis_name)
+                                axis_name, gsize)
     if polish and mode != "none":
         # converge past the reference's fixed-lambda stopping point
         params = _lm_polish(params, cam1_idx, cam2_idx, pts,
-                            mask * enabled[:, None], axis_name=axis_name)
+                            mask * enabled[:, None], axis_name=axis_name,
+                            gsize=gsize)
     if use_straighten:
         rots = geo.exp_so3(params[placed_idx, 3:6])
         rads = geo.log_so3(geo.straighten(rots))
@@ -418,22 +479,24 @@ def _traverse_impl(params0, seed_idx, place_dst, place_src, homs,
 
 _traverse_kernel = functools.partial(
     jax.jit, static_argnames=("mode", "use_straighten", "max_iter",
-                              "polish", "axis_name"))(_traverse_impl)
+                              "polish", "axis_name", "gsize"))(_traverse_impl)
 
 
 @functools.lru_cache(maxsize=None)
 def _traverse_mesh_fn(mesh, mode: str, use_straighten: bool,
-                      max_iter: int, polish: bool):
+                      max_iter: int, polish: bool, gsize: int):
     """shard_map'd traverse kernel: edge tensors sharded over the mesh's
     data axis, everything else replicated. The SAME ``_traverse_impl``
-    runs SPMD — per-edge gating stays shard-local, LM reductions psum."""
+    runs SPMD — per-edge gating stays shard-local; LM reductions
+    all-gather ordered per-group partials (``_group_reduce``), which
+    makes the mesh trajectory bit-identical to the single-device one."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = functools.partial(_traverse_impl, mode=mode,
                            use_straighten=use_straighten,
                            max_iter=max_iter, polish=polish,
-                           axis_name="data")
+                           axis_name="data", gsize=gsize)
     rep, sh = P(), P("data")
     sm = shard_map(fn, mesh=mesh,
                    in_specs=(rep, rep, rep, rep, rep, rep, rep,
@@ -681,11 +744,22 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
     n = len(imgs)
     cp = _next_pow2(n + 1, 4)      # +1 scratch row for no-op padding adds
     scratch = cp - 1
-    ap = max(n - 1, 1)             # schedule length is shape-stable in N
-    ep = _next_pow2(max(len(edges), 1), 4)
+    # pow2 schedule length: padding adds place the scratch camera and
+    # gate nothing, so their _lm_core calls exit after one rejected step
+    # (~2 linearizations each); in exchange nearby view counts share one
+    # traverse compile (e.g. 10 and 12 views both run ap=16)
+    ap = _next_pow2(max(n - 1, 1), 4)
+    # EDGE_GROUPS-aligned edge padding: the edge axis always reduces as
+    # EDGE_GROUPS ordered partials (_group_reduce), so a pow2 count >= 16
+    # is both the compile-shape bucket and the deterministic grouping
+    ep = _next_pow2(max(len(edges), 1), EDGE_GROUPS)
+    gsize = ep // EDGE_GROUPS
     if mesh is not None:           # every device needs an equal edge shard
         nd = int(mesh.devices.size)
-        ep = -(-max(ep, nd) // nd) * nd
+        if EDGE_GROUPS % nd != 0:
+            raise ValueError(
+                f"traverse edge sharding needs a device count dividing "
+                f"EDGE_GROUPS={EDGE_GROUPS}, got {nd}")
     mp = _next_pow2(max((m.shape[0] for _, _, m, _ in edges), default=1), 64)
 
     dtype = np.float32
@@ -721,12 +795,12 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
     straighten = bool(use_straighten and placed)
     if mesh is not None:
         fn = _traverse_mesh_fn(mesh, badjust, straighten, LM_MAX_ITER,
-                               bool(polish))
+                               bool(polish), gsize)
         params, _, _ = fn(*operands)
     else:
         params, _, _ = _traverse_kernel(
             *operands, mode=badjust, use_straighten=straighten,
-            polish=bool(polish))
+            polish=bool(polish), gsize=gsize)
     params = np.asarray(params, np.float64)
 
     cameras: List[Optional[PanoImage]] = [None] * n
