@@ -30,7 +30,12 @@ from pano360_tpu.geometry import inv3x3
 LOWE_RATIO = 0.7        # features.py:232
 N_MIN_MATCH = 8         # features.py:17
 RANSAC_THRESH = 3.0     # cv2.findHomography default reprojection threshold
-RANSAC_ITERS = 1024     # parallel hypotheses (cv2 adaptive caps at 2000)
+# Parallel hypothesis budget. cv2's adaptive search at its default 0.995
+# confidence needs ~1354 iterations at a 25% inlier ratio (cap 2000);
+# 1024 fixed hypotheses left a ~2% miss probability there (observed as a
+# catastrophic miss in the low-inlier stress test), 2048 brings
+# P(no clean sample) to ~4e-4 — below cv2's own residual risk.
+RANSAC_ITERS = 2048
 
 _MXU = jax.lax.Precision.HIGHEST
 

@@ -109,6 +109,30 @@ class TestRansac:
         assert int(n) >= int(cv_mask.sum()) - 3
         npt.assert_allclose(np.asarray(est), cv_h / cv_h[2, 2], atol=3e-2)
 
+    def test_low_inlier_ratio_matches_cv2(self):
+        """~25% inliers: cv2 runs adaptive-iteration LO-RANSAC; our fixed
+        hypothesis budget must still recover the homography with
+        comparable accuracy. 1024 hypotheses left P(no clean sample)
+        ~= 2% here — observed as a catastrophic miss at one seed — so the
+        budget is 2048 (P ~= 4e-4). Checked over several seeds."""
+        wins = 0
+        for seed in (3, 17, 29, 41):
+            p1, p2, hom = synthetic_correspondences(
+                n_in=60, n_out=180, seed=seed)
+            est, inl, n = pm.ransac_homography(
+                jnp.asarray(p1), jnp.asarray(p2),
+                jnp.ones(len(p1), bool), jax.random.key(seed))
+            est = np.asarray(est)
+            ours_rms = reproj_rms(est / est[2, 2], hom)
+            cv_h, cv_mask = cv2.findHomography(p1, p2, cv2.RANSAC)
+            cv_rms = (reproj_rms(cv_h / cv_h[2, 2], hom)
+                      if cv_h is not None else np.inf)
+            assert ours_rms < 1.0, (seed, ours_rms)
+            assert int(n) >= 0.8 * int(cv_mask.sum())
+            if ours_rms <= cv_rms + 0.05:
+                wins += 1
+        assert wins >= 3     # at least as accurate as cv2 nearly always
+
     def test_respects_validity_mask(self):
         p1, p2, hom = synthetic_correspondences()
         # corrupt the padded tail; mark it invalid
