@@ -71,6 +71,51 @@ def psnr_aligned(a, b, max_shift: int = 12):
     return best
 
 
+def psnr_at(a, b, sy, sx):
+    """PSNR of ``a`` against ``b`` bilinearly resampled at a fractional
+    translation (sy, sx), over the valid overlap."""
+    h = min(a.shape[0], b.shape[0])
+    w = min(a.shape[1], b.shape[1])
+    a = a[:h, :w].astype(np.float64)
+    b = b[:h, :w].astype(np.float64)
+    yy = np.arange(h, dtype=np.float64)[:, None] - sy
+    xx = np.arange(w, dtype=np.float64)[None, :] - sx
+    yi = np.floor(yy).astype(int)
+    xi = np.floor(xx).astype(int)
+    fy = (yy - yi)[..., None]
+    fx = (xx - xi)[..., None]
+    valid = (yi >= 0) & (yi < h - 1) & (xi >= 0) & (xi < w - 1)
+    yi = np.clip(yi, 0, h - 2)
+    xi = np.clip(xi, 0, w - 2)
+    bs = (b[yi, xi] * (1 - fy) * (1 - fx) + b[yi, xi + 1] * (1 - fy) * fx
+          + b[yi + 1, xi] * fy * (1 - fx) + b[yi + 1, xi + 1] * fy * fx)
+    diff = np.where(valid[..., None], a - bs, 0.0)
+    n = max(int(valid.sum()) * a.shape[-1], 1)
+    mse = float(np.sum(diff * diff)) / n
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def psnr_subpixel(a, b, max_shift: int = 12):
+    """Gauge-aligned PSNR: integer search, then sub-pixel coordinate
+    descent on a bilinear translation of ``b``. A sub-pixel GLOBAL drift
+    between two registrations shifts the whole canvas; without removing
+    it, e2e PSNR measures the drift, not mosaic fidelity. Returns
+    ``(psnr_db, sy, sx)``."""
+    p0, dy, dx = psnr_aligned(a, b, max_shift)
+    sy, sx = float(dy), float(dx)
+    best = psnr_at(a, b, sy, sx)
+    for step in (0.5, 0.25, 0.125, 0.0625, 0.03125):
+        improved = True
+        while improved:
+            improved = False
+            for cy, cx in ((sy + step, sx), (sy - step, sx),
+                           (sy, sx + step), (sy, sx - step)):
+                p = psnr_at(a, b, cy, cx)
+                if p > best:
+                    best, sy, sx, improved = p, cy, cx, True
+    return best, round(sy, 4), round(sx, 4)
+
+
 def reg_errors(regions, rots_gt, focal_gt):
     """Registration error vs synthetic ground truth: focal %, relative
     rotation degrees (consecutive pairs), and the implied mosaic-pixel
@@ -133,6 +178,26 @@ def main():
     print(f"end-to-end (independent registration): "
           f"{out['e2e_psnr_db']} dB shapes={out['shapes']}", flush=True)
 
+    # gauge-aligned e2e: remove the sub-pixel global drift between the
+    # two independent registrations before comparing pixels
+    p_al, sy, sx = psnr_subpixel(m_ours, m_ref)
+    out["e2e_psnr_aligned_db"] = {"psnr": round(p_al, 2),
+                                  "shift": [sy, sx]}
+    print(f"end-to-end gauge-aligned: {p_al:.2f} dB "
+          f"(shift {sy}, {sx})", flush=True)
+
+    # parity mode: our traverse with the reference's exact fixed-lambda
+    # LM stop (no adaptive polish) — isolates optimizer-schedule
+    # divergence from feature/match divergence
+    regions_par = traverse(imgs, idx_to_keypoints(matches, kpts),
+                           badjust="incr", polish=False)
+    m_par = render.stitch(regions_par, blender="multiband", dev_images=dev)
+    p_par, sy_p, sx_p = psnr_subpixel(m_par, m_ref)
+    out["e2e_parity_mode_aligned_db"] = {"psnr": round(p_par, 2),
+                                         "shift": [sy_p, sx_p]}
+    print(f"parity-mode (no polish) gauge-aligned: {p_par:.2f} dB",
+          flush=True)
+
     # --- registration error vs synthetic ground truth (accounts for the
     # e2e PSNR numerically: two *independent* ML estimates each carry a
     # noise floor vs GT; their difference — not render fidelity — bounds
@@ -169,13 +234,84 @@ def main():
     gt_ref = [ref_ba.Image(im.copy(), r.copy(), intr_gt.copy())
               for im, r in zip(imgs, gt_r_ref)]
     m_gt_ref = ref_st.stitch(gt_ref, blender=ref_st.multiband_blend)
-    p_o, dy_o, dx_o = psnr_aligned(m_ours, m_gt_ours)
-    p_r, dy_r, dx_r = psnr_aligned(m_ref, m_gt_ref)
+    p_o, dy_o, dx_o = psnr_subpixel(m_ours, m_gt_ours)
+    p_r, dy_r, dx_r = psnr_subpixel(m_ref, m_gt_ref)
     out["vs_gt_mosaic_psnr_db"] = {
         "ours": round(p_o, 2), "ours_shift": [dy_o, dx_o],
         "reference": round(p_r, 2), "reference_shift": [dy_r, dx_r],
     }
     print("vs GT mosaic:", out["vs_gt_mosaic_psnr_db"], flush=True)
+
+    # --- equalize path end-to-end: per-view gain perturbations, both
+    # pipelines run with exposure compensation, mosaics compared
+    # (previously only find_gains unit parity; stitcher.py:24-66)
+    #
+    # REFERENCE BUG, worked around for the comparison: equalize_gains
+    # (stitcher.py:56-57) calls cv2.warpPerspective with
+    # BORDER_TRANSPARENT but no explicit dst; OpenCV then leaves the
+    # destination UNINITIALIZED outside the warped quad, the garbage
+    # alpha passes the `overlap[..., 3] != 0` mask, and the overlap
+    # means (hence all gains) come out NaN -> the reference's -e mosaic
+    # is garbage whenever the allocator returns non-zeroed pages
+    # (verified in this environment: overlap max 3.3e38, gains all-NaN).
+    # Passing a zeroed dst reproduces the reference's documented intent,
+    # which is also what our implementation computes (constant-0 border,
+    # render.py equalize_gains).
+    _orig_warp = cv2.warpPerspective
+
+    def _zeroed_dst_warp(src, m, dsize, dst=None, **kw):
+        if dst is None and kw.get("borderMode") == cv2.BORDER_TRANSPARENT:
+            dst = np.zeros((dsize[1], dsize[0]) + src.shape[2:], src.dtype)
+        return _orig_warp(src, m, dsize, dst=dst, **kw)
+
+    cv2.warpPerspective = _zeroed_dst_warp
+    rng = np.random.default_rng(11)
+    gains_true = rng.uniform(0.7, 1.3, len(imgs))
+    imgs_g = [np.clip(im.astype(np.float64) * g, 0, 255).astype(np.uint8)
+              for im, g in zip(imgs, gains_true)]
+    kpts_g, matches_g = ref_feat.matching(imgs_g)
+    regs_ref_g = ref_ba.traverse(
+        imgs_g, ref_st.idx_to_keypoints(matches_g, kpts_g), badjust="incr")
+    m_ref_eq = ref_st.stitch(
+        [ref_ba.Image(r.img.copy(), r.rot.copy(), r.intr.copy())
+         for r in regs_ref_g], blender=ref_st.multiband_blend,
+        equalize=True)
+    dev_g = to_device(imgs_g)
+    kpts_o, matches_o = matching(imgs_g, seed=0, dev_images=dev_g)
+    regs_o_g = traverse(imgs_g, idx_to_keypoints(matches_o, kpts_o),
+                        badjust="incr")
+    m_ours_eq = render.stitch(regs_o_g, blender="multiband",
+                              equalize=True, dev_images=dev_g)
+    # non-equalized mosaics on the SAME perturbed registrations: the
+    # e2e number is dominated by registration drift on this harder
+    # scene, so the equalize component's contribution is the DELTA
+    m_ref_ne = ref_st.stitch(
+        [ref_ba.Image(r.img.copy(), r.rot.copy(), r.intr.copy())
+         for r in regs_ref_g], blender=ref_st.multiband_blend)
+    m_ours_ne = render.stitch(regs_o_g, blender="multiband",
+                              dev_images=dev_g)
+    # shared-registration equalize parity: both renderers consume the
+    # reference's registration, isolating gain estimation + application
+    # from registration divergence (the equalize analogue of
+    # render_parity_psnr_db)
+    shared_eq = [PanoImage(r.img.copy(), r.rot.copy(), r.intr.copy())
+                 for r in regs_ref_g]
+    m_shared_eq = render.stitch(shared_eq, blender="multiband",
+                                equalize=True)
+    cv2.warpPerspective = _orig_warp
+    p_eq, sy_e, sx_e = psnr_subpixel(m_ours_eq, m_ref_eq)
+    p_ne, _, _ = psnr_subpixel(m_ours_ne, m_ref_ne)
+    p_sh = psnr(m_shared_eq, m_ref_eq)
+    out["equalize_quality_db"] = {
+        "shared_registration_parity": round(p_sh, 2),
+        "e2e_aligned": round(p_eq, 2), "e2e_shift": [sy_e, sx_e],
+        "e2e_no_equalize_aligned": round(p_ne, 2),
+        "gain_spread_true": round(float(gains_true.std()), 3),
+        "note": "reference run with zeroed-dst fix for its "
+                "uninitialized-BORDER_TRANSPARENT bug (stitcher.py:56)",
+    }
+    print(f"equalize shared-reg parity: {p_sh:.2f} dB | e2e "
+          f"{p_eq:.2f} dB (no-equalize e2e {p_ne:.2f} dB)", flush=True)
 
     cv2.imwrite(os.path.join(ROOT, "benchmarks", "mosaic_gt.png"),
                 m_gt_ours)
