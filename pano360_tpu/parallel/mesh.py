@@ -108,9 +108,15 @@ def distributed_lm_stats(mesh: Mesh, params, cam1_idx, cam2_idx, pts, mask):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _gray_extract_fn(mesh: Mesh, cfg: S.SiftConfig):
-    def local(g):
-        f = S.sift_extract(g.astype(jnp.float32) / 255.0, cfg)
+def _color_extract_fn(mesh: Mesh, cfg: S.SiftConfig):
+    def local(c):
+        from pano360_tpu.ops.color import bgr2gray
+        # EXACTLY pipeline._gray_extract's expression: gray conversion is
+        # elementwise, so running it on the image shard produces the same
+        # bits as the single-device batch, keeping features bit-identical
+        # across the mesh/single paths (the dryrun parity contract)
+        gray = bgr2gray(c.astype(jnp.float32) / 255.0)
+        f = S.sift_extract(gray, cfg)
         gather = functools.partial(jax.lax.all_gather, axis_name="data",
                                    tiled=True)
         return jax.tree_util.tree_map(gather, f)
@@ -119,16 +125,15 @@ def _gray_extract_fn(mesh: Mesh, cfg: S.SiftConfig):
                              out_specs=P(), check_vma=False))
 
 
-def sharded_gray_extract(mesh: Mesh, gray_u8: jnp.ndarray,
-                         cfg: S.SiftConfig):
-    """The production extraction program (uint8 GRAY -> SIFT) with the
-    image axis sharded over the mesh. Same compute (and same host-side
-    cv2-rounded gray input) as ``pipeline._gray_u8_extract``, so features
-    are bit-identical to the single-device path; they come back
-    replicated (all-gathered) for host match-graph assembly. N must be a
-    multiple of the mesh size (pipeline.matching pads by repeating the
-    last image)."""
-    return _gray_extract_fn(mesh, cfg)(gray_u8)
+def sharded_color_extract(mesh: Mesh, stack_u8: jnp.ndarray,
+                          cfg: S.SiftConfig):
+    """The production extraction program (uint8 BGR -> device gray ->
+    SIFT) with the image axis sharded over the mesh. Same per-element
+    compute as ``pipeline._gray_extract``, so features are bit-identical
+    to the single-device path; they come back replicated (all-gathered)
+    for host match-graph assembly. N must be a multiple of the mesh size
+    (pipeline.matching pads by repeating the last image)."""
+    return _color_extract_fn(mesh, cfg)(stack_u8)
 
 
 @functools.lru_cache(maxsize=None)
@@ -210,4 +215,4 @@ def distributed_step(mesh: Mesh, gray: jnp.ndarray, cfg: S.SiftConfig,
 
 __all__ = ["make_mesh", "sharded_extract", "sharded_pair_match",
            "distributed_lm_stats", "distributed_step",
-           "sharded_gray_extract", "sharded_match_all_pairs"]
+           "sharded_color_extract", "sharded_match_all_pairs"]

@@ -111,25 +111,6 @@ def _gray_extract(stack_u8: jnp.ndarray, cfg: S.SiftConfig):
     return S.sift_extract(gray, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _gray_u8_extract(gray_u8: jnp.ndarray, cfg: S.SiftConfig):
-    return S.sift_extract(gray_u8.astype(jnp.float32) / 255.0, cfg)
-
-
-def _host_gray_u8(imgs: List[np.ndarray]) -> np.ndarray:
-    """Host BGR -> uint8 gray (cv2.COLOR_BGR2GRAY rounding semantics).
-
-    Matching only needs luma: shipping 1 byte/pixel instead of 3 cuts the
-    critical-path host->device transfer 3x (the relay link is ~86 MB/s, so
-    bytes ARE time). The uint8 quantization also matches the reference,
-    which feeds cv2 SIFT with uint8 gray (features.py:135).
-    """
-    stack = np.stack(imgs).astype(np.float32)
-    gray = (stack[..., 0] * 0.114 + stack[..., 1] * 0.587
-            + stack[..., 2] * 0.299)
-    return np.round(gray).astype(np.uint8)
-
-
 @jax.jit
 def _compact_buffers(kp_buf, ds_buf, sel, counts):
     """Gather the valid keypoint/descriptor rows to a smaller capacity."""
@@ -166,17 +147,20 @@ class BucketStacks:
 
 def upload_extract(imgs: List[np.ndarray], max_kpts: int = 4096,
                    n_batches: int = 4):
-    """Pipelined upload + SIFT extraction, gray-first.
+    """Pipelined upload + SIFT extraction.
 
-    Matching needs only luma, so the critical path ships uint8 GRAY
-    (1 byte/pixel) in ``n_batches`` batches interleaved with the
-    per-batch SIFT dispatches; the 3x-larger BGR stack (needed only at
-    render time) is enqueued AFTER the extraction dispatches so its
-    transfer rides under matching/registration, syncing only when
-    ``render.stitch`` consumes it. Returns ``(stack (N, H, W, 3) uint8
-    device, SiftFeatures batched over all N)``; the list is padded to a
-    multiple of the batch size by repeating the last image (one XLA
-    compile) and the padding is sliced off on device.
+    The uint8 BGR stack is uploaded in batches interleaved with the
+    per-batch gray-conversion+SIFT dispatches, so the transfer of batch
+    k+1 rides under the compute of batch k; the same device-resident
+    batches are concatenated into the render-time stack, so the pixels
+    cross the host link exactly once. (A gray-first variant — host u8
+    gray on the critical path, color enqueued after — measured 2.5 s vs
+    this path's 1.3 s on the relay: the host conversion costs ~0.8 s of
+    the single CPU core and the late color upload stops overlapping the
+    SIFT compute.) Returns ``(stack (N, H, W, 3) uint8 device,
+    SiftFeatures batched over all N)``; the list is padded to a multiple
+    of the batch size by repeating the last image (one XLA compile) and
+    the padding is sliced off on device.
 
     Mixed image shapes are handled by processing each shape bucket
     through the same pipeline; the returned stack is then a
@@ -199,21 +183,20 @@ def upload_extract(imgs: List[np.ndarray], max_kpts: int = 4096,
             lambda *xs: jnp.concatenate(xs, axis=0)[inv], *feat_parts)
         return BucketStacks(parts), feats
     # FIXED batch size (not count): the SIFT program is keyed by the
-    # batch shape, so a fixed (4, H, W) is one compile for every image
+    # batch shape, so a fixed (4, H, W, 3) is one compile for every image
     # count at a given resolution (ceil(n/4) was a fresh compile per
     # distinct n). The tail batch repeats the last image.
     bs = max(1, min(4, n))
     n_batches = -(-n // bs)
     padded = list(imgs) + [imgs[-1]] * (n_batches * bs - n)
 
-    feat_batches = []
+    chunks, feat_batches = [], []
     for b in range(n_batches):
-        gb = jax.device_put(_host_gray_u8(padded[b * bs:(b + 1) * bs]))
-        feat_batches.append(_gray_u8_extract(gb, cfg))
+        cb = jax.device_put(np.stack(padded[b * bs:(b + 1) * bs]))
+        chunks.append(cb)
+        feat_batches.append(_gray_extract(cb, cfg))
 
-    # color upload enqueued after the extraction dispatches: it is not
-    # needed until render, so its 3x bytes overlap matching/registration
-    stack = jax.device_put(np.stack(imgs))
+    stack = jnp.concatenate(chunks, axis=0)[:n]
     feats = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0)[:n], *feat_batches)
     return stack, feats
@@ -259,10 +242,10 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
             if mesh is not None and uniform:
                 # image-sharded extraction: pad N to a mesh multiple by
                 # repeating the last image, slice the replica rows off
-                from pano360_tpu.parallel import sharded_gray_extract
+                from pano360_tpu.parallel import sharded_color_extract
                 npad = -(-n // nd) * nd
-                gray = _host_gray_u8(list(imgs) + [imgs[-1]] * (npad - n))
-                feats = sharded_gray_extract(mesh, jnp.asarray(gray), cfg)
+                stack = np.stack(list(imgs) + [imgs[-1]] * (npad - n))
+                feats = sharded_color_extract(mesh, jnp.asarray(stack), cfg)
                 feats = jax.tree_util.tree_map(lambda a: a[:n], feats)
             elif dev_images is not None and hasattr(dev_images, "shape"):
                 feats = _gray_extract(dev_images, cfg)
