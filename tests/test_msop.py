@@ -32,6 +32,54 @@ class TestMsop:
             np.testing.assert_allclose(kb, ks, atol=1e-4)
             np.testing.assert_allclose(db, ds, atol=1e-4)
 
+    def test_registration_against_ground_truth(self):
+        """Absolute-fidelity check, independent of the batch/single code
+        path (which share their implementation): MSOP keypoints and
+        descriptors from two synthetic views must register to the KNOWN
+        camera motion — a uniform corruption of coordinate scale,
+        orientation, or descriptor math would fail here even though the
+        batch-vs-single comparison cannot see it."""
+        import jax
+        import jax.numpy as jnp
+        from pano360_tpu import match as pm
+        from pano360_tpu.geometry import focal_from_hom
+
+        shape = (240, 320)
+        imgs, rots, focal = synth.make_views(n_views=2, shape=shape,
+                                             overlap=0.6, seed=9)
+        u8 = [(im * 255).astype(np.uint8) for im in imgs]
+        batch = msop_extract_batch(u8)
+
+        cent = np.array([shape[1] / 2, shape[0] / 2], np.float32)
+        top = max(len(k) for k, _ in batch)
+        cap = max(64, 1 << (top - 1).bit_length())
+        buf = []
+        for k, d in batch:
+            xyp = np.zeros((cap, 2), np.float32)
+            dsp = np.zeros((cap, d.shape[1]), np.float32)
+            xyp[: len(k)] = k - cent
+            dsp[: len(k)] = d
+            buf.append((jnp.asarray(xyp), jnp.asarray(dsp),
+                        jnp.asarray(np.arange(cap) < len(k))))
+        res = pm.match_pair(*buf[0], *buf[1], jax.random.key(0))
+        assert bool(res.ok) and int(res.n_inliers) > 50
+
+        # MSOP keypoints are integer-pixel (like the reference's,
+        # features.py:142-147), so single-pair focal decomposition is
+        # coarser than SIFT's subpixel path (~10% observed); the bounds
+        # only need to catch uniform corruption, which is catastrophic
+        est_f = float(focal_from_hom(res.hom))
+        assert abs(est_f - focal) / focal < 0.2
+
+        k = np.diag([focal, focal, 1.0])
+        h = np.asarray(res.hom)
+        r = np.linalg.inv(k) @ (h / h[2, 2]) @ k
+        u, _, vt = np.linalg.svd(r)
+        r = u @ vt
+        dr = r @ (rots[1] @ rots[0].T).T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+        assert ang < 1.0, f"rotation error {ang} deg"
+
     def test_ssc_homogeneous(self):
         rng = np.random.default_rng(3)
         pts = rng.uniform(0, 200, (2000, 2)).astype(np.float32)
