@@ -120,6 +120,50 @@ def _compact_buffers(kp_buf, ds_buf, sel, counts):
     return kp_c, ds_c, va_c
 
 
+@jax.jit
+def _pack_kp_valid(kp_buf, va_buf):
+    """Keypoints + validity as ONE f32 blob: a single host pull.
+
+    Every ``np.asarray`` of a distinct device array is a full relay
+    round trip (~35 ms); the match-graph stage needs both arrays on the
+    host, so ship them together.
+    """
+    n = kp_buf.shape[0]
+    return jnp.concatenate([kp_buf.reshape(n, -1),
+                            va_buf.astype(jnp.float32)], axis=1)
+
+
+@jax.jit
+def _pack_match_results(res: pm.PairMatch) -> jnp.ndarray:
+    """PairMatch tree -> ONE int32 blob (single host pull).
+
+    Layout per pair row: [idx (2M) | inlier (M) | hom bits (9) |
+    n_inliers | ok]. The homography f32s travel as bitcast int32 so the
+    readback is exact.
+    """
+    p, m = res.idx.shape[:2]
+    hom_bits = jax.lax.bitcast_convert_type(
+        res.hom.astype(jnp.float32), jnp.int32).reshape(p, 9)
+    return jnp.concatenate([
+        res.idx.reshape(p, 2 * m).astype(jnp.int32),
+        res.inlier.astype(jnp.int32),
+        hom_bits,
+        res.n_inliers.reshape(p, 1).astype(jnp.int32),
+        res.ok.reshape(p, 1).astype(jnp.int32),
+    ], axis=1)
+
+
+def _unpack_match_results(blob: np.ndarray, m: int) -> "pm.PairMatch":
+    """Host-side inverse of ``_pack_match_results`` (numpy views)."""
+    idx = blob[:, : 2 * m].reshape(-1, m, 2)
+    inlier = blob[:, 2 * m: 3 * m].astype(bool)
+    hom = blob[:, 3 * m: 3 * m + 9].copy().view(np.float32).reshape(-1, 3, 3)
+    n_inl = blob[:, 3 * m + 9]
+    ok = blob[:, 3 * m + 10].astype(bool)
+    return pm.PairMatch(idx=idx, inlier=inlier, hom=hom,
+                        n_inliers=n_inl, ok=ok)
+
+
 class BucketStacks:
     """Per-shape-bucket device image stacks (mixed-size inputs).
 
@@ -260,9 +304,11 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
         va_buf = feats.valid
         cap = int(feats.xy.shape[1])
 
-        # host copies for the cache (compacted)
-        valid_np = np.asarray(va_buf)
-        kp_np = np.asarray(kp_buf)
+        # host copies for the cache (compacted); ONE packed pull — two
+        # separate np.asarray calls cost two relay round trips
+        kv = np.asarray(_pack_kp_valid(kp_buf, va_buf))
+        kp_np = kv[:, : 2 * cap].reshape(n, cap, 2)
+        valid_np = kv[:, 2 * cap:] > 0.5
         kpts_host = [kp_np[i][valid_np[i]].astype(np.float32)
                      for i in range(n)]
 
@@ -307,19 +353,20 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
     else:
         res_dev = pm.match_all_pairs(kp_buf, ds_buf, va_buf, pa, pb, keys,
                                      batch_size=batch)
-    res_np = jax.tree_util.tree_map(np.asarray, res_dev)
+    # the whole match graph comes back as ONE packed pull (a tree_map of
+    # np.asarray pays a ~35 ms relay round trip per leaf)
+    res_np = _unpack_match_results(
+        np.asarray(_pack_match_results(res_dev)), cap)
 
     matches: Dict[int, Dict[int, tuple]] = {i: {} for i in range(n)}
-    flat = [jax.tree_util.tree_map(lambda a, i=i: a[i], res_np)
-            for i in range(len(pairs))]
-    for (src, dst), res in zip(pairs, flat):
-        if not bool(res.ok):
+    for k, (src, dst) in enumerate(pairs):
+        if not bool(res_np.ok[k]):
             continue
-        idx = res.idx[res.inlier].astype(np.int32)
+        idx = res_np.idx[k][res_np.inlier[k]].astype(np.int32)
         if remap is not None:   # padded-buffer indices -> compacted
             idx = np.stack([remap[src][idx[:, 0]],
                             remap[dst][idx[:, 1]]], axis=1).astype(np.int32)
-        hom = res.hom.astype(np.float64)
+        hom = res_np.hom[k].astype(np.float64)
         matches[src][dst] = (idx, hom)
         matches[dst][src] = (np.fliplr(idx), np.linalg.inv(hom))
     LOG.info("Matched features, time: %s", time.time() - start)

@@ -214,12 +214,16 @@ def _pair_overlap_stats(imgs, homs_ij, pair_i, pair_j, height: int,
     return jax.vmap(one)(homs_ij, pair_i, pair_j, dims_i)
 
 
-def equalize_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
-                   shapes: Optional[np.ndarray] = None) -> jnp.ndarray:
-    """Equalize exposures over pairwise overlaps (stitcher.py:36-66).
+def estimate_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
+                   shapes: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-image exposure gains over pairwise overlaps
+    (stitcher.py:36-66). Returns the (N,) gain vector; application
+    (``rgb * g`` clipped to [0, 1]) happens inside the fused
+    warp+blend program so the corrected stack is never materialized
+    separately.
 
     ``shapes``: optional per-image true (h, w) for padded mixed-size
-    stacks. Returns the gain-corrected (N, H, W, 4) stack.
+    stacks.
     """
     n = len(regions)
     height, width = imgs_rgba.shape[1:3]
@@ -261,9 +265,22 @@ def equalize_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
 
     gains = find_gains(overlaps, sizes)
     LOG.debug("Gains: %s", gains)
+    return gains
+
+
+def apply_gains(imgs_rgba: jnp.ndarray, gains) -> jnp.ndarray:
+    """Scale rgb by per-image gains, clipped to [0, 1] (stitcher.py:63)."""
     g = jnp.asarray(gains, jnp.float32)[:, None, None, None]
     rgb = jnp.clip(imgs_rgba[..., :3] * g, 0.0, 1.0)
     return jnp.concatenate([rgb, imgs_rgba[..., 3:]], axis=-1)
+
+
+def equalize_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
+                   shapes: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Estimate + apply exposure gains (stitcher.py:36-66); returns the
+    gain-corrected (N, H, W, 4) stack."""
+    return apply_gains(imgs_rgba,
+                       estimate_gains(regions, imgs_rgba, shapes))
 
 
 def _np_hom_to_from(c1: PanoImage, c2: PanoImage) -> np.ndarray:
@@ -454,12 +471,20 @@ BLENDERS = {
 
 @functools.partial(jax.jit, static_argnames=("ph", "pw", "projection",
                                              "blender", "shape"))
-def _warp_and_blend(imgs_rgba, projs, bottoms, resolution, range_min,
+def _warp_and_blend(imgs, gains, projs, bottoms, resolution, range_min,
                     ph: int, pw: int, shape: Tuple[int, int],
                     blender: str, projection=geo.SphProj, shapes=None,
                     wins=None):
-    """Backward warp + blend in ONE dispatch (the 60-MB patch tensor
-    stays in HBM and the host saves a ~30 ms relay round trip)."""
+    """Weights + (gains) + backward warp + blend in ONE dispatch.
+
+    ``imgs``: (N, H, W, 3) float BGR in [0, 1]; the hat-ramp alpha and
+    the optional exposure gains are computed inside the program so the
+    240-MB rgba stack never round-trips HBM between dispatches (and the
+    host saves the extra dispatch latency). ``gains``: optional (N,)
+    exposure gains from ``estimate_gains``."""
+    imgs_rgba = add_weights(imgs, shapes)
+    if gains is not None:
+        imgs_rgba = apply_gains(imgs_rgba, gains)
     patches, invalid = backward_warp_all(
         imgs_rgba, projs, bottoms, resolution, range_min, ph, pw,
         projection, shapes, wins)
@@ -498,8 +523,11 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(imgs_rgba, projs, bottoms_sh, bottoms_full, resolution,
+    def local(imgs, gains, projs, bottoms_sh, bottoms_full, resolution,
               range_min, shapes_sh, wins_sh):
+        imgs_rgba = add_weights(imgs, shapes_sh)
+        if gains is not None:
+            imgs_rgba = apply_gains(imgs_rgba, gains)
         patches, invalid = backward_warp_all(
             imgs_rgba, projs, bottoms_sh, resolution, range_min, ph, pw,
             projection, shapes_sh, wins_sh)
@@ -512,8 +540,8 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
         return mosaic, invalid
 
     sm = shard_map(local, mesh=mesh,
-                   in_specs=(P("data"), P("data"), P("data"), P(), P(),
-                             P(), P("data"), P("data")),
+                   in_specs=(P("data"), P("data"), P("data"), P("data"),
+                             P(), P(), P(), P("data"), P("data")),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(sm)
 
@@ -584,10 +612,12 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     for k, reg in enumerate(regions):
         reg.range = (rmin[k], rmax[k])
 
-    imgs_rgba = add_weights(dev_imgs.astype(jnp.float32), shapes_dev)
+    dev_imgs = dev_imgs.astype(jnp.float32)
+    gains = None
     if equalize:
-        imgs_rgba = equalize_gains(regions, imgs_rgba,
-                                   None if uniform else shapes)
+        gains = estimate_gains(regions, add_weights(dev_imgs, shapes_dev),
+                               None if uniform else shapes)
+        gains = jnp.asarray(gains, jnp.float32)
 
     resolution, im_range = estimate_resolution(regions, max_resolution,
                                                proj)
@@ -642,9 +672,12 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         nd = int(mesh.devices.size)
         npad = -(-n // nd) * nd
         imgs_pad = jnp.concatenate(
-            [imgs_rgba, jnp.zeros((npad - n,) + imgs_rgba.shape[1:],
-                                  imgs_rgba.dtype)]) if npad > n \
-            else imgs_rgba
+            [dev_imgs, jnp.zeros((npad - n,) + dev_imgs.shape[1:],
+                                 dev_imgs.dtype)]) if npad > n \
+            else dev_imgs
+        gains_pad = jnp.ones((npad,), jnp.float32) if gains is None \
+            else jnp.concatenate([gains,
+                                  jnp.ones((npad - n,), jnp.float32)])
         projs_pad = np.concatenate(
             [projs, np.broadcast_to(np.eye(3), (npad - n, 3, 3))])
         bottoms_pad = np.concatenate(
@@ -655,7 +688,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             [wins, np.full((npad - n, 4), -1, wins.dtype)])
         fn = _warp_and_blend_mesh_fn(mesh, ph, pw, shape, blender, proj, n)
         mosaic, invalid = fn(
-            imgs_pad, jnp.asarray(projs_pad, jnp.float32),
+            imgs_pad, gains_pad, jnp.asarray(projs_pad, jnp.float32),
             jnp.asarray(bottoms_pad, jnp.int32),
             jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
@@ -690,6 +723,9 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         # semantics — auto mode keeps exact parity; pass use_pallas=True
         # to force the anti-aliased mip kernel.
         if ok and (n_levels == 1 or use_pallas is True):
+            imgs_rgba = add_weights(dev_imgs, shapes_dev)
+            if gains is not None:
+                imgs_rgba = apply_gains(imgs_rgba, gains)
             mips = PW.build_mips(jnp.moveaxis(imgs_rgba, -1, 1), n_levels,
                                  win_y, win_x)
             patches, invalid = PW.pallas_backward_warp(
@@ -705,7 +741,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
                         "the XLA path")
     if patches is None:
         mosaic, invalid = _warp_and_blend(
-            imgs_rgba, jnp.asarray(projs, jnp.float32),
+            dev_imgs, gains, jnp.asarray(projs, jnp.float32),
             jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
             jnp.asarray(im_range[0], jnp.float32), ph, pw, shape,
@@ -733,6 +769,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
 __all__ = [
     "MAX_RESOLUTION", "proj_img_range_border", "proj_img_range_corners",
     "estimate_resolution", "hat", "add_weights", "find_gains",
-    "equalize_gains", "backward_warp_all",
+    "estimate_gains", "apply_gains", "equalize_gains",
+    "backward_warp_all",
     "blend_none", "blend_linear", "blend_multiband", "BLENDERS", "stitch",
 ]

@@ -134,3 +134,4 @@ class TestDownstreamParity:
             jnp.asarray(buf["valid"][1]), jax.random.key(0))
         assert int(ours.n_inliers) >= 0.7 * int(cvres.n_inliers), (
             f"ours {int(ours.n_inliers)} vs cv2-desc {int(cvres.n_inliers)}")
+
