@@ -208,61 +208,142 @@ def _gather_cube(dog: jnp.ndarray, l, y, x):
     return dog.reshape(-1)[cube_idx]
 
 
-def _refine_one(dog: jnp.ndarray, l0, y0, x0, cfg: SiftConfig):
+# NOTE on a measured dead end: an earlier attempt replaced the refine
+# loop's per-iteration 27-scalar cube gathers with per-candidate
+# (S+2, 16, 16) DoG windows (contiguous dynamic_slice DMAs +
+# gather-free one-hot cube reads). Bit-exact but SLOWER on TPU — at
+# bench scale the window slicing alone costs 0.34 s (64-byte rows DMA
+# at ~0.5 GB/s) vs 0.16 s for the whole gather-based refine at
+# octave 0, and a full-depth (S+2, pr, pr) slice makes XLA transpose
+# the entire DoG into a slice-friendly layout (a 32 GB copy). The
+# dense step field below is the design that won: no per-candidate
+# slicing at all. Numbers in BENCHMARKS.md "refinement A/B".
+def _newton_step_field(dog: jnp.ndarray) -> jnp.ndarray:
+    """Packed dense Newton-step field over every interior DoG pixel.
+
+    The per-candidate refinement loop only needs, at each visited
+    (l, y, x), the integer re-centering step and the converged flag —
+    both functions of that pixel's 3x3x3 neighbourhood alone. Solving
+    the Newton system DENSELY over the whole grid is cheap VPU math
+    (same stencils as ``_cube_derivs``, same closed-form adjugate solve
+    as ``inv3x3``), and turns each scan iteration's 27-scalar gather
+    per candidate into ONE int32 gather: bit 0 = converged
+    (all |offs| < 0.5), bits 1-2 / 3-4 / 5-6 = step_x/y/l + 1.
+
+    dog: (N, S+2, H, W) -> (N, S, H, W) int32 for layers 1..S. Values
+    in the roll wrap-around border rows/cols are garbage; candidates
+    are confined to y, x in [border, dim-1-border] so they are never
+    read.
+    """
+    cm = dog[:, 1:-1]          # layer l
+    cl = dog[:, :-2]           # layer l-1
+    cu = dog[:, 2:]            # layer l+1
+
+    def shx(a, d):
+        return jnp.roll(a, -d, axis=-1)
+
+    def shy(a, d):
+        return jnp.roll(a, -d, axis=-2)
+
+    dx = (shx(cm, 1) - shx(cm, -1)) * 0.5
+    dy = (shy(cm, 1) - shy(cm, -1)) * 0.5
+    ds = (cu - cl) * 0.5
+    dxx = shx(cm, 1) - 2 * cm + shx(cm, -1)
+    dyy = shy(cm, 1) - 2 * cm + shy(cm, -1)
+    dss = cu - 2 * cm + cl
+    dxy = (shy(shx(cm, 1), 1) - shy(shx(cm, -1), 1)
+           - shy(shx(cm, 1), -1) + shy(shx(cm, -1), -1)) * 0.25
+    dxs = (shx(cu, 1) - shx(cu, -1) - shx(cl, 1) + shx(cl, -1)) * 0.25
+    dys = (shy(cu, 1) - shy(cu, -1) - shy(cl, 1) + shy(cl, -1)) * 0.25
+
+    # det of the raw Hessian (det3x3's expansion order) gates the solve;
+    # the inverse itself runs on the 1e-12-regularized diagonal, exactly
+    # as the per-candidate path (``_refine_one``) does
+    det0 = (dxx * (dyy * dss - dys * dys)
+            - dxy * (dxy * dss - dys * dxs)
+            + dxs * (dxy * dys - dyy * dxs))
+    a, e, i = dxx + 1e-12, dyy + 1e-12, dss + 1e-12
+    b, c, f = dxy, dxs, dys
+    co00, co01, co02 = e * i - f * f, c * f - b * i, b * f - c * e
+    co10, co11, co12 = f * c - b * i, a * i - c * c, c * b - a * f
+    co20, co21, co22 = b * f - e * c, b * c - a * f, a * e - b * b
+    det = a * co00 + b * co01 + c * co02
+    solve = jnp.abs(det0) > 1e-20
+    ox = jnp.where(solve, -(co00 * dx + co01 * dy + co02 * ds) / det, 0.0)
+    oy = jnp.where(solve, -(co10 * dx + co11 * dy + co12 * ds) / det, 0.0)
+    ol = jnp.where(solve, -(co20 * dx + co21 * dy + co22 * ds) / det, 0.0)
+
+    conv = ((jnp.abs(ox) < 0.5) & (jnp.abs(oy) < 0.5)
+            & (jnp.abs(ol) < 0.5))
+
+    def step(o):
+        return jnp.clip(jnp.round(o), -1, 1).astype(jnp.int32) + 1
+
+    return (conv.astype(jnp.int32) | (step(ox) << 1) | (step(oy) << 3)
+            | (step(ol) << 5))
+
+
+def _cube_derivs(c):
+    """Gradient, Hessian and the spatial second derivatives of a 3x3x3
+    DoG cube (cv2's interpolation stencils)."""
+    dd = jnp.array([
+        (c[1, 1, 2] - c[1, 1, 0]) * 0.5,
+        (c[1, 2, 1] - c[1, 0, 1]) * 0.5,
+        (c[2, 1, 1] - c[0, 1, 1]) * 0.5,
+    ])
+    dxx = c[1, 1, 2] - 2 * c[1, 1, 1] + c[1, 1, 0]
+    dyy = c[1, 2, 1] - 2 * c[1, 1, 1] + c[1, 0, 1]
+    dss = c[2, 1, 1] - 2 * c[1, 1, 1] + c[0, 1, 1]
+    dxy = (c[1, 2, 2] - c[1, 2, 0] - c[1, 0, 2] + c[1, 0, 0]) * 0.25
+    dxs = (c[2, 1, 2] - c[2, 1, 0] - c[0, 1, 2] + c[0, 1, 0]) * 0.25
+    dys = (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1]) * 0.25
+    hess = jnp.array([[dxx, dxy, dxs],
+                      [dxy, dyy, dys],
+                      [dxs, dys, dss]])
+    return dd, hess, (dxx, dyy, dxy)
+
+
+def _refine_one(dog: jnp.ndarray, field: jnp.ndarray, l0, y0, x0,
+                cfg: SiftConfig):
     """Iterative Newton refinement of one candidate (cv2-style).
 
-    dog: (S+2, H, W). Returns (l, y, x int final, offs (3,), contrast,
-    ok bool).
+    dog: (S+2, H, W); field: (S, H, W) packed step/conv words from
+    ``_newton_step_field`` (layers 1..S). Each scan iteration is a
+    single int32 gather; the full 3x3x3 cube is gathered ONCE at the
+    final position for the contrast/edge tests. Returns (l, y, x int
+    final, offs (3,), contrast, ok bool).
     """
     nl, h, w = dog.shape
     s = cfg.n_layers
     b = cfg.img_border
-
-    def deriv(c):
-        dd = jnp.array([
-            (c[1, 1, 2] - c[1, 1, 0]) * 0.5,
-            (c[1, 2, 1] - c[1, 0, 1]) * 0.5,
-            (c[2, 1, 1] - c[0, 1, 1]) * 0.5,
-        ])
-        dxx = c[1, 1, 2] - 2 * c[1, 1, 1] + c[1, 1, 0]
-        dyy = c[1, 2, 1] - 2 * c[1, 1, 1] + c[1, 0, 1]
-        dss = c[2, 1, 1] - 2 * c[1, 1, 1] + c[0, 1, 1]
-        dxy = (c[1, 2, 2] - c[1, 2, 0] - c[1, 0, 2] + c[1, 0, 0]) * 0.25
-        dxs = (c[2, 1, 2] - c[2, 1, 0] - c[0, 1, 2] + c[0, 1, 0]) * 0.25
-        dys = (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1]) * 0.25
-        hess = jnp.array([[dxx, dxy, dxs],
-                          [dxy, dyy, dys],
-                          [dxs, dys, dss]])
-        return dd, hess, (dxx, dyy, dxy)
+    flat = field.reshape(-1)
 
     def body(state, _):
-        l, y, x, _, _, moved = state
-        c = _gather_cube(dog, l, y, x)
-        dd, hess, _ = deriv(c)
-        # solve hess @ offs = -dd via closed-form 3x3 inverse
-        det = det3x3(hess)
-        offs = jnp.where(
-            jnp.abs(det) > 1e-20,
-            -(inv3x3(hess + 1e-12 * jnp.eye(3, dtype=dog.dtype)) @ dd),
-            jnp.zeros(3, dog.dtype)).astype(dog.dtype)
-        conv = jnp.all(jnp.abs(offs) < 0.5)
-        step = jnp.clip(jnp.round(offs), -1, 1).astype(jnp.int32)
-        nx = jnp.clip(x + step[0], b, w - 1 - b)
-        ny = jnp.clip(y + step[1], b, h - 1 - b)
-        nl_ = jnp.clip(l + step[2], 1, s)
+        l, y, x, _ = state
+        word = flat[(l - 1) * (h * w) + y * w + x]
+        conv = (word & 1) > 0
+        nx = jnp.clip(x + ((word >> 1) & 3) - 1, b, w - 1 - b)
+        ny = jnp.clip(y + ((word >> 3) & 3) - 1, b, h - 1 - b)
+        nl_ = jnp.clip(l + ((word >> 5) & 3) - 1, 1, s)
         l = jnp.where(conv, l, nl_)
         y = jnp.where(conv, y, ny)
         x = jnp.where(conv, x, nx)
-        return (l, y, x, offs, conv, moved | ~conv), None
+        return (l, y, x, conv), None
 
-    init = (l0, y0, x0, jnp.zeros(3, dog.dtype), jnp.asarray(False),
-            jnp.asarray(False))
-    (l, y, x, offs, conv, _), _ = lax.scan(
-        body, init, None, length=cfg.refine_iters)
+    init = (l0, y0, x0, jnp.asarray(False))
+    (l, y, x, conv), _ = lax.scan(body, init, None,
+                                  length=cfg.refine_iters)
 
     c = _gather_cube(dog, l, y, x)
-    dd, hess, (dxx, dyy, dxy) = deriv(c)
-    offs = jnp.where(conv, offs, jnp.zeros(3, dog.dtype))
+    dd, hess, (dxx, dyy, dxy) = _cube_derivs(c)
+    # when converged the position is a Newton fixed point, so re-solving
+    # at the final cube reproduces the last iteration's offsets exactly;
+    # when not converged the offsets are zeroed (cv2 rejects anyway)
+    det = det3x3(hess)
+    offs = jnp.where(
+        conv & (jnp.abs(det) > 1e-20),
+        -(inv3x3(hess + 1e-12 * jnp.eye(3, dtype=dog.dtype)) @ dd),
+        jnp.zeros(3, dog.dtype)).astype(dog.dtype)
     contrast = c[1, 1, 1] + 0.5 * jnp.dot(dd, offs)
 
     tr = dxx + dyy
@@ -531,10 +612,11 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
         cap = min(caps[o], s * dog.shape[2] * dog.shape[3])
         l0, y0, x0, cand_ok = _octave_candidates(dog, cfg, cap)
 
+        field = _newton_step_field(dog)            # (N, S, H, W) int32
         refine = jax.vmap(jax.vmap(
-            lambda dg, a, b, c: _refine_one(dg, a, b, c, cfg),
-            in_axes=(None, 0, 0, 0)), in_axes=(0, 0, 0, 0))
-        l, y, x, offs, contrast, ok = refine(dog, l0, y0, x0)
+            lambda dg, fl, a, b, c: _refine_one(dg, fl, a, b, c, cfg),
+            in_axes=(None, None, 0, 0, 0)), in_axes=(0, 0, 0, 0, 0))
+        l, y, x, offs, contrast, ok = refine(dog, field, l0, y0, x0)
         ok = ok & cand_ok
 
         # compact the refinement survivors before the (heavy) patch /
