@@ -93,8 +93,10 @@ def main():
       lambda: jax.tree_util.tree_map(np.asarray, pm.match_all_pairs(
           kp_c, ds_c, va_c, pa, pb, keys, batch_size=batch)))
 
-    t("matching() end-to-end", lambda: matching(
-        imgs, seed=0, dev_images=dev, feats=feats)[0][0])
+    # matching() is host-synchronous at return (it pulls its results to
+    # numpy internally), so a plain scalar suffices for timing
+    t("matching() end-to-end", lambda: jnp.zeros(()) + float(
+        matching(imgs, seed=0, dev_images=dev, feats=feats)[0][0].shape[0]))
 
     kpts, matches = matching(imgs, seed=0, dev_images=dev, feats=feats)
     mk = idx_to_keypoints(matches, kpts)

@@ -44,14 +44,28 @@ LOG = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("shape", "projection", "nel"))
+                   static_argnames=("shape", "projection", "nel",
+                                    "unwrapped"))
 def proj_img_range_border(shape: Tuple[int, int], homs: jnp.ndarray,
                           projection=geo.SphProj, nel: int = 100,
-                          shapes: Optional[jnp.ndarray] = None):
+                          shapes: Optional[jnp.ndarray] = None,
+                          unwrapped: bool = False):
     """Projected extent of image borders; batched over (N, 3, 3) homs.
 
     ``shapes``: optional per-image (N, 2) float (h, w) overriding the
     single ``shape`` when images have mixed sizes.
+
+    ``unwrapped=True`` additionally returns the azimuth range of each
+    view unwrapped around its own center direction, i.e. a CONTIGUOUS
+    interval [azc - d1, azc + d2] that may leave [-pi, pi) when the view
+    crosses the azimuth seam. The wrapped min/max of a seam-crossing
+    view degenerates to ~[-pi, pi] (its border azimuths cluster at both
+    ends), which forces a full-canvas-width render window; the unwrapped
+    range keeps the window at the view's true footprint (measured 15x
+    1-Mpix: one crossing view made EVERY region pay a 1400-px-wide patch
+    instead of ~236 px — ~6x the warp+blend work). Returns one stacked
+    (4, N, 2) array [rmin, rmax, uw_min, uw_max] so the host pays a
+    single pull.
     """
     height, width = shape
     if shapes is None:
@@ -76,7 +90,19 @@ def proj_img_range_border(shape: Tuple[int, int], homs: jnp.ndarray,
     pts = projection.hom2proj(
         jnp.einsum("nij,nkj->nki", homs.astype(jnp.float32), borders,
                    precision=jax.lax.Precision.HIGHEST))
-    return jnp.min(pts, axis=1), jnp.max(pts, axis=1)   # (N, 2), (N, 2)
+    rmin = jnp.min(pts, axis=1)
+    rmax = jnp.max(pts, axis=1)                          # (N, 2), (N, 2)
+    if not unwrapped:
+        return rmin, rmax
+
+    # center direction = hom @ [0, 0, 1] (borders are center-origin)
+    azc = projection.hom2proj(homs[:, :, 2].astype(jnp.float32))[:, 0]
+    ax = pts[..., 0]
+    ax_u = azc[:, None] + jnp.mod(ax - azc[:, None] + jnp.pi,
+                                  2 * jnp.pi) - jnp.pi
+    uw_min = jnp.stack([jnp.min(ax_u, axis=1), rmin[:, 1]], axis=-1)
+    uw_max = jnp.stack([jnp.max(ax_u, axis=1), rmax[:, 1]], axis=-1)
+    return jnp.stack([rmin, rmax, uw_min, uw_max])
 
 
 def _np_hom2proj(pts: np.ndarray, projection) -> np.ndarray:
@@ -291,11 +317,13 @@ def _np_hom_to_from(c1: PanoImage, c2: PanoImage) -> np.ndarray:
 # Backward warp (stitcher.py:288-319)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("ph", "pw", "projection"))
+@functools.partial(jax.jit, static_argnames=("ph", "pw", "projection",
+                                             "period"))
 def backward_warp_all(imgs, projs, bottoms, resolution, range_min,
                       ph: int, pw: int, projection=geo.SphProj,
                       shapes: Optional[jnp.ndarray] = None,
-                      wins: Optional[jnp.ndarray] = None):
+                      wins: Optional[jnp.ndarray] = None,
+                      period: Optional[int] = None):
     """Backward-warp every region into its bbox-padded patch.
 
     imgs: (N, H, W, 4); projs: (N, 3, 3) = K R; bottoms: (N, 2) int patch
@@ -309,6 +337,14 @@ def backward_warp_all(imgs, projs, bottoms, resolution, range_min,
     content the enlarged window can see past ``top`` must be masked off
     to keep paste parity. Returns (patches (N, ph, pw, 4),
     invalid (N, ph, pw)).
+
+    ``period``: mosaic width of one full azimuth turn, in pixels, when
+    the canvas wraps (spherical/cylindrical x is periodic). Patch
+    columns past the seam (px >= period) sample at their FINAL mosaic
+    column's azimuth (px - period) so the blend-time fold of the wrapped
+    strip is exact — folding at integer ``period`` alone would shift
+    content by the sub-pixel residual period*res_x - 2*pi. Window
+    masking stays in unwrapped coords.
     """
     n, h, w, _ = imgs.shape
     if shapes is None:
@@ -324,7 +360,8 @@ def backward_warp_all(imgs, projs, bottoms, resolution, range_min,
         hh, ww = hw[0], hw[1]
         px = x_i + bottom[0]
         py = y_i + bottom[1]
-        xs = px * resolution[0] + range_min[0]
+        px_s = px if period is None else px - period * (px >= period)
+        xs = px_s * resolution[0] + range_min[0]
         ys = py * resolution[1] + range_min[1]
         rays = projection.proj2hom(jnp.stack([xs, ys], axis=-1))
         xx = jnp.einsum("ij,hwj->hwi", proj.astype(jnp.float32), rays,
@@ -365,19 +402,66 @@ def _paste_loop(init, bottoms, win_shape, fn, n):
     return jax.lax.fori_loop(0, n, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("shape",))
-def blend_none(patches, masks, bottoms, shape: Tuple[int, int]):
+# Periodic (wrap-around) canvases: when the mosaic spans the full
+# azimuth circle, patch windows may cross the seam. Pastes then run on a
+# canvas x-extended by pw (so every window fits contiguously) and the
+# spilled strip [period, period + pw) is FOLDED back onto [0, pw) with
+# the blender's own reduction: + for weighted accumulators, weight-max
+# for the seam assignment, last-writer for the sequential paste. The
+# warp samples fold columns at their final-column azimuth
+# (``backward_warp_all`` period arg), so the fold is exact.
+
+def _ext(shape: Tuple[int, int], period: Optional[int], pw: int):
+    """Paste-canvas shape: x-extended past the full turn when periodic.
+
+    ``period`` can exceed the canvas width by a couple of pixels (the
+    reference's border-sampled extent undershoots 2*pi slightly), so the
+    extension is anchored at max(width, period)."""
+    if period is None:
+        return shape
+    return (shape[0], max(shape[1], period) + pw)
+
+
+def _fold_add(acc, shape, period: Optional[int], pw: int):
+    if period is None:
+        return acc
+    marg = acc[:, period:period + pw]
+    return acc[:, :shape[1]].at[:, :pw].add(marg)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "period"))
+def blend_none(patches, masks, bottoms, shape: Tuple[int, int],
+               period: Optional[int] = None):
     """Sequential paste without blending (stitcher.py:160-168)."""
     n, ph, pw = patches.shape[:3]
-    mosaic = _paste_loop(
-        jnp.zeros(shape + (3,), jnp.float32), bottoms, (ph, pw),
-        lambda k, cur: jnp.where(masks[k][..., None], cur,
-                                 patches[k][..., :3]), n)
+    if period is None:
+        mosaic = _paste_loop(
+            jnp.zeros(shape + (3,), jnp.float32), bottoms, (ph, pw),
+            lambda k, cur: jnp.where(masks[k][..., None], cur,
+                                     patches[k][..., :3]), n)
+    else:
+        # channel 3 tracks the writer (k+1): overwrite = LAST writer
+        # wins, and the paste loop ascends, so the fold takes whichever
+        # side holds the higher index
+        def fn(k, cur):
+            kf = jnp.broadcast_to((k + 1).astype(jnp.float32),
+                                  (ph, pw, 1))
+            tile = jnp.concatenate([patches[k][..., :3], kf], axis=-1)
+            return jnp.where(masks[k][..., None], cur, tile)
+
+        acc = _paste_loop(jnp.zeros(_ext(shape, period, pw) + (4,),
+                                    jnp.float32), bottoms, (ph, pw), fn, n)
+        marg = acc[:, period:period + pw]
+        main = acc[:, :shape[1]]
+        take = (marg[..., 3] > main[:, :pw, 3])[..., None]
+        mosaic = main.at[:, :pw].set(
+            jnp.where(take, marg, main[:, :pw]))[..., :3]
     return jnp.clip(mosaic * 255, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("shape",))
-def blend_linear(patches, masks, bottoms, shape: Tuple[int, int]):
+@functools.partial(jax.jit, static_argnames=("shape", "period"))
+def blend_linear(patches, masks, bottoms, shape: Tuple[int, int],
+                 period: Optional[int] = None):
     """Alpha-weighted average (stitcher.py:171-183)."""
     n, ph, pw = patches.shape[:3]
 
@@ -387,19 +471,22 @@ def blend_linear(patches, masks, bottoms, shape: Tuple[int, int]):
         return cur + jnp.concatenate([tile * p[..., 3:], p[..., 3:]],
                                      axis=-1)
 
-    acc = _paste_loop(jnp.zeros(shape + (4,), jnp.float32), bottoms,
-                      (ph, pw), fn, n)
+    acc = _paste_loop(jnp.zeros(_ext(shape, period, pw) + (4,),
+                                jnp.float32), bottoms, (ph, pw), fn, n)
+    acc = _fold_add(acc, shape, period, pw)
     wsum = jnp.where(acc[..., 3] == 0, 1.0, acc[..., 3])
     mosaic = acc[..., :3] / wsum[..., None]
     return jnp.clip(mosaic * 255, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "n_levels"))
+@functools.partial(jax.jit, static_argnames=("shape", "n_levels",
+                                             "period"))
 def blend_multiband(patches, masks, bottoms, shape: Tuple[int, int],
-                    n_levels: int = 5):
+                    n_levels: int = 5, period: Optional[int] = None):
     """Multi-band blending (stitcher.py:186-241), bands from DoGs of each
     patch with sigma = sqrt(2l+1)*4, sharp argmax-weight seams."""
     n, ph, pw = patches.shape[:3]
+    ext = _ext(shape, period, pw)
 
     # 1) argmax-weight seam assignment (stitcher.py:196-204)
     def seam_fn(k, cur):
@@ -411,14 +498,22 @@ def blend_multiband(patches, masks, bottoms, shape: Tuple[int, int],
                          axis=-1)
 
     packed = _paste_loop(
-        jnp.concatenate([jnp.zeros(shape + (1,), jnp.float32),
-                         jnp.full(shape + (1,), -1.0, jnp.float32)],
+        jnp.concatenate([jnp.zeros(ext + (1,), jnp.float32),
+                         jnp.full(ext + (1,), -1.0, jnp.float32)],
                         axis=-1), bottoms, (ph, pw), seam_fn, n)
+    if period is not None:
+        # weight-max fold, then periodic re-extension so window reads at
+        # columns >= period see the folded winners
+        marg = packed[:, period:period + pw]
+        main = packed[:, :shape[1]]
+        take = (marg[..., 0] > main[:, :pw, 0])[..., None]
+        packed = main.at[:, :pw].set(jnp.where(take, marg, main[:, :pw]))
+        packed = jnp.concatenate(
+            [packed[:, :period], packed[:, :ext[1] - period]], axis=1)
     best_i = packed[..., 1].astype(jnp.int32)
 
     # sharp masks: alpha := (argmax == k) (stitcher.py:207-209)
     def sharp_one(k, patch, bottom):
-        zero = jnp.zeros((), bottoms.dtype)
         win = jax.lax.dynamic_slice(best_i, (bottom[1], bottom[0]),
                                     (ph, pw))
         return patch.at[..., 3].set((win == k).astype(jnp.float32))
@@ -428,8 +523,12 @@ def blend_multiband(patches, masks, bottoms, shape: Tuple[int, int],
 
     # allmask: union of valid pixels (stitcher.py:212,233-236)
     allmask = _paste_loop(
-        jnp.zeros(shape, bool), bottoms, (ph, pw),
+        jnp.zeros(ext, bool), bottoms, (ph, pw),
         lambda k, cur: cur | ~masks[k], n)
+    if period is not None:
+        marg = allmask[:, period:period + pw]
+        allmask = allmask[:, :shape[1]].at[:, :pw].set(
+            allmask[:, :pw] | marg)
 
     mosaic = jnp.zeros(shape + (3,), jnp.float32)
     prevs = patches
@@ -449,8 +548,9 @@ def blend_multiband(patches, masks, bottoms, shape: Tuple[int, int],
                 [tiles_rgb[k] * tiles_a[k][..., None],
                  tiles_a[k][..., None]], axis=-1)
 
-        acc = _paste_loop(jnp.zeros(shape + (4,), jnp.float32), bottoms,
+        acc = _paste_loop(jnp.zeros(ext + (4,), jnp.float32), bottoms,
                           (ph, pw), acc_fn, n)
+        acc = _fold_add(acc, shape, period, pw)
 
         layer = jnp.where(allmask[..., None], acc[..., :3], 0.0)
         wsum = jnp.where(acc[..., 3] == 0, 1.0, acc[..., 3])
@@ -470,11 +570,12 @@ BLENDERS = {
 
 
 @functools.partial(jax.jit, static_argnames=("ph", "pw", "projection",
-                                             "blender", "shape"))
+                                             "blender", "shape",
+                                             "period"))
 def _warp_and_blend(imgs, gains, projs, bottoms, resolution, range_min,
                     ph: int, pw: int, shape: Tuple[int, int],
                     blender: str, projection=geo.SphProj, shapes=None,
-                    wins=None):
+                    wins=None, period: Optional[int] = None):
     """Weights + (gains) + backward warp + blend in ONE dispatch.
 
     ``imgs``: (N, H, W, 3) float BGR in [0, 1]; the hat-ramp alpha and
@@ -487,12 +588,15 @@ def _warp_and_blend(imgs, gains, projs, bottoms, resolution, range_min,
         imgs_rgba = apply_gains(imgs_rgba, gains)
     patches, invalid = backward_warp_all(
         imgs_rgba, projs, bottoms, resolution, range_min, ph, pw,
-        projection, shapes, wins)
-    return BLENDERS[blender](patches, invalid, bottoms, shape), invalid
+        projection, shapes, wins, period)
+    return (BLENDERS[blender](patches, invalid, bottoms, shape,
+                              period=period), invalid)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "blender"))
-def _mask_and_blend(patches, invalid, bottoms, wins, shape, blender):
+@functools.partial(jax.jit, static_argnames=("shape", "blender",
+                                             "period"))
+def _mask_and_blend(patches, invalid, bottoms, wins, shape, blender,
+                    period: Optional[int] = None):
     """Apply the true-window mask (see ``backward_warp_all``) to patches
     produced elsewhere (the Pallas kernel), then blend — one dispatch."""
     n, ph, pw, _ = patches.shape
@@ -505,13 +609,15 @@ def _mask_and_blend(patches, invalid, bottoms, wins, shape, blender):
                | (py >= wins[:, 3, None, None]))
     invalid = invalid | outside
     patches = patches.at[..., 3].set(patches[..., 3] * (~invalid))
-    return BLENDERS[blender](patches, invalid, bottoms, shape), invalid
+    return (BLENDERS[blender](patches, invalid, bottoms, shape,
+                              period=period), invalid)
 
 
 @functools.lru_cache(maxsize=None)
 def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
                             shape: Tuple[int, int], blender: str,
-                            projection, n_true: int):
+                            projection, n_true: int,
+                            period: Optional[int] = None):
     """Region-sharded warp + replicated blend over a device mesh.
 
     The backward warp — the FLOP/bandwidth-heavy stage — runs on each
@@ -530,13 +636,14 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
             imgs_rgba = apply_gains(imgs_rgba, gains)
         patches, invalid = backward_warp_all(
             imgs_rgba, projs, bottoms_sh, resolution, range_min, ph, pw,
-            projection, shapes_sh, wins_sh)
+            projection, shapes_sh, wins_sh, period)
         gather = functools.partial(jax.lax.all_gather, axis_name="data",
                                    tiled=True)
         patches = gather(patches)[:n_true]
         invalid = gather(invalid)[:n_true]
         mosaic = BLENDERS[blender](patches, invalid,
-                                   bottoms_full[:n_true], shape)
+                                   bottoms_full[:n_true], shape,
+                                   period=period)
         return mosaic, invalid
 
     sm = shard_map(local, mesh=mesh,
@@ -544,6 +651,24 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
                              P(), P(), P(), P("data"), P("data")),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(sm)
+
+
+def _crop_valid(invalid: np.ndarray, bottoms: np.ndarray, ph: int,
+                pw: int, shape: Tuple[int, int],
+                period: Optional[int]) -> np.ndarray:
+    """Union of valid patch pixels on the canvas (host, for crop).
+
+    With a periodic canvas the spilled strip folds back like the
+    blenders' pastes do.
+    """
+    ext_w = shape[1] + (pw if period is not None else 0)
+    valid = np.zeros((shape[0], ext_w), bool)
+    for k in range(invalid.shape[0]):
+        x0, y0 = bottoms[k]
+        valid[y0:y0 + ph, x0:x0 + pw] |= ~invalid[k]
+    if period is not None:
+        valid[:, :pw] |= valid[:, period:period + pw]
+    return valid[:, :shape[1]]
 
 
 # ---------------------------------------------------------------------------
@@ -571,6 +696,13 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     output mode). ``mesh``: optional ``jax.sharding.Mesh`` ("data" axis)
     — the backward warp shards over regions, patches all-gather over
     ICI, the blend runs replicated. Returns a uint8 BGR mosaic.
+
+    Seam-crossing views (360-degree sweeps) render into their TRUE
+    unwrapped footprint and paste modulo the full-turn width instead of
+    forcing a canvas-wide patch window on every region (the wrapped
+    extent of a crossing view degenerates to ~[-pi, pi]); see
+    ``proj_img_range_border(unwrapped=True)`` and the blender fold
+    logic. Measured ~6x less warp+blend work on the 15-view bench scene.
     """
     proj = geo.PROJECTIONS[projection]
     n = len(regions)
@@ -606,9 +738,10 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
 
     shapes_dev = None if uniform else jnp.asarray(shapes, jnp.float32)
     homs = np.stack([r.hom() for r in regions])
-    rmin, rmax = proj_img_range_border((h, w), jnp.asarray(homs),
-                                       projection=proj, shapes=shapes_dev)
-    rmin, rmax = np.asarray(rmin, np.float64), np.asarray(rmax, np.float64)
+    ranges = np.asarray(proj_img_range_border(
+        (h, w), jnp.asarray(homs), projection=proj, shapes=shapes_dev,
+        unwrapped=True), np.float64)
+    rmin, rmax, uw_min, uw_max = ranges
     for k, reg in enumerate(regions):
         reg.range = (rmin[k], rmax[k])
 
@@ -624,18 +757,48 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     target = (im_range[1] - im_range[0]) / resolution
     shape = tuple(int(t) for t in np.round(target))[::-1]  # (H, W)
 
+    # Periodic canvas: a view crossing the azimuth seam has a wrapped
+    # range degenerating to ~[-pi, pi] (full canvas width); its UNWRAPPED
+    # range keeps the true footprint, with the patch pasted modulo the
+    # full-turn width ``period`` (canvas/resolution stay on the wrapped
+    # ranges for reference parity; see the fold logic in the blenders).
+    period = int(round(2 * np.pi / resolution[0]))
+    crossing = ((uw_min[:, 0] < im_range[0][0] - 1e-9)
+                | (uw_max[:, 0] > im_range[1][0] + 1e-9))
+    # the canvas spans (just under) the full turn whenever any view
+    # crosses the seam — its wrapped range forces ~[-pi, pi], with the
+    # border sampling undershooting the exact extremes by a few pixels;
+    # period < width would mean a canvas wider than one turn (impossible
+    # for wrapped ranges, guarded for degenerate resolutions)
+    use_wrap = bool(crossing.any()) and period + 1 >= shape[1]
+
+    lo_r = np.where(crossing[:, None], uw_min, rmin) if use_wrap else rmin
+    hi_r = np.where(crossing[:, None], uw_max, rmax) if use_wrap else rmax
     bottoms, tops = [], []
-    for reg in regions:
-        bottom = np.round((reg.range[0] - im_range[0]) / resolution)
-        top = np.round((reg.range[1] - im_range[0]) / resolution)
+    for k in range(n):
+        bottom = np.round((lo_r[k] - im_range[0]) / resolution)
+        top = np.round((hi_r[k] - im_range[0]) / resolution)
         bottom, top = bottom.astype(np.int64), top.astype(np.int64)
         if blender == "multiband":   # pad to avoid sharp edges
-            bottom = np.maximum(bottom - 10, np.int64([0, 0]))
-            top = np.minimum(top + 10, target.astype(np.int64))
+            bottom, top = bottom - 10, top + 10
+            bottom[1] = max(bottom[1], 0)           # y: canvas-clamped
+            top[1] = min(top[1], int(target[1]))
+            if not use_wrap:                        # x: only if aperiodic
+                bottom[0] = max(bottom[0], 0)
+                top[0] = min(top[0], int(target[0]))
         bottoms.append(bottom)
         tops.append(top)
     bottoms = np.stack(bottoms)
     tops = np.stack(tops)
+    if use_wrap and int((tops[:, 0] - bottoms[:, 0]).max()) > period:
+        # a single window wider than the full turn (degenerate): fall
+        # back to the non-periodic full-width path
+        use_wrap = False
+        bottoms = np.round((rmin - im_range[0]) / resolution).astype(np.int64)
+        tops = np.round((rmax - im_range[0]) / resolution).astype(np.int64)
+        if blender == "multiband":
+            bottoms = np.maximum(bottoms - 10, 0)
+            tops = np.minimum(tops + 10, target.astype(np.int64))
 
     # one padded patch shape for all regions (static under jit)
     ph = int((tops[:, 1] - bottoms[:, 1]).max())
@@ -664,8 +827,20 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     wins = np.concatenate([bottoms, tops], axis=1)
     # clamp: a patch window must fit inside the mosaic for dynamic slicing
     ph, pw = min(ph, shape[0]), min(pw, shape[1])
-    bottoms[:, 0] = np.clip(bottoms[:, 0], 0, shape[1] - pw)
+    if use_wrap:
+        # periodic x: origins wrap into [0, period); the paste canvas is
+        # x-extended by pw so every window fits contiguously, and wins
+        # shift with their origin so the warp's unwrapped-coord masking
+        # stays consistent
+        x0 = bottoms[:, 0] % period
+        shift = x0 - bottoms[:, 0]
+        wins[:, 0] += shift
+        wins[:, 2] += shift
+        bottoms[:, 0] = x0
+    else:
+        bottoms[:, 0] = np.clip(bottoms[:, 0], 0, shape[1] - pw)
     bottoms[:, 1] = np.clip(bottoms[:, 1], 0, shape[0] - ph)
+    wrap_period = period if use_wrap else None
 
     projs = np.stack([r.proj() for r in regions])
     if mesh is not None:
@@ -686,7 +861,8 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             [shapes, np.broadcast_to(np.array([h, w]), (npad - n, 2))])
         wins_pad = np.concatenate(
             [wins, np.full((npad - n, 4), -1, wins.dtype)])
-        fn = _warp_and_blend_mesh_fn(mesh, ph, pw, shape, blender, proj, n)
+        fn = _warp_and_blend_mesh_fn(mesh, ph, pw, shape, blender, proj, n,
+                                     wrap_period)
         mosaic, invalid = fn(
             imgs_pad, gains_pad, jnp.asarray(projs_pad, jnp.float32),
             jnp.asarray(bottoms_pad, jnp.int32),
@@ -698,17 +874,17 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         mosaic = np.asarray(mosaic)[:out_h, :out_w]
         if crop:
             LOG.debug("Cropping...")
-            valid = np.zeros(shape, bool)
-            inv = np.asarray(invalid)
-            for k in range(n):
-                x0, y0 = bottoms[k]
-                valid[y0:y0 + ph, x0:x0 + pw] |= ~inv[k]
             from pano360_tpu.native import crop_mosaic
+            valid = _crop_valid(np.asarray(invalid), bottoms, ph, pw,
+                                shape, wrap_period)
             mosaic = crop_mosaic(mosaic, valid[:out_h, :out_w])
         return mosaic
 
     patches = invalid = None
+    # the Pallas kernel does not implement final-column (periodic)
+    # sampling, so a wrapping canvas takes the XLA path
     if (use_pallas is not False and uniform and proj is geo.SphProj
+            and not use_wrap
             and jax.default_backend() == "tpu"):   # kernel is spherical
         from pano360_tpu.ops import pallas_warp as PW
         origins, ok, win_y, win_x, n_levels = PW.plan_windows(
@@ -746,21 +922,19 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             jnp.asarray(resolution, jnp.float32),
             jnp.asarray(im_range[0], jnp.float32), ph, pw, shape,
             blender, projection=proj, shapes=shapes_dev,
-            wins=jnp.asarray(wins, jnp.float32))
+            wins=jnp.asarray(wins, jnp.float32), period=wrap_period)
     else:
         mosaic, invalid = _mask_and_blend(
             patches, invalid, jnp.asarray(bottoms, jnp.int32),
-            jnp.asarray(wins, jnp.float32), shape, blender)
+            jnp.asarray(wins, jnp.float32), shape, blender,
+            period=wrap_period)
     mosaic = np.asarray(mosaic)[:out_h, :out_w]
 
     if crop:
         LOG.debug("Cropping...")
-        valid = np.zeros(shape, bool)
-        inv = np.asarray(invalid)
-        for k in range(n):
-            x0, y0 = bottoms[k]
-            valid[y0:y0 + ph, x0:x0 + pw] |= ~inv[k]
         from pano360_tpu.native import crop_mosaic
+        valid = _crop_valid(np.asarray(invalid), bottoms, ph, pw, shape,
+                            wrap_period)
         mosaic = crop_mosaic(mosaic, valid[:out_h, :out_w])
 
     return mosaic
