@@ -34,14 +34,21 @@ class TestWarp:
         ours = blend_extra.warp(imgs[0], kint)
         theirs = ref_blend.warp(imgs[0], kint)
         # NOTE: the reference remaps into an *uninitialized* buffer with
-        # BORDER_TRANSPARENT (blend.py:43-45), so its out-of-range alpha is
-        # heap garbage; compare pixels only where both agree on validity.
+        # BORDER_TRANSPARENT (blend.py:43-45), so its out-of-range alpha
+        # is heap garbage; compare only where both agree on validity,
+        # ERODED by one pixel — the reference's bilinear taps at the
+        # validity boundary blend that garbage into otherwise-valid
+        # pixels, which makes an un-eroded PSNR jitter run to run with
+        # whatever the heap held.
+        import cv2
         m_ours = ours[..., 3] > 0
         m_ref = theirs[..., 3] > 0
         both = m_ours & m_ref
         assert both.mean() > 0.5        # warped region is substantial
         assert (m_ours | m_ref).sum() < 1.3 * both.sum()
-        p = psnr(ours[both][:, :3], theirs[both][:, :3])
+        interior = cv2.erode(both.astype(np.uint8),
+                             np.ones((3, 3), np.uint8)).astype(bool)
+        p = psnr(ours[interior][:, :3], theirs[interior][:, :3])
         assert p > 30, f"PSNR {p:.1f}"
 
 
