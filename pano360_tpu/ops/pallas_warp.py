@@ -52,17 +52,23 @@ MAX_WIN_X = 512
 MARGIN = 8
 
 
-def _tile_coords(bx, by, rx, ry, mx, my, ty0, tx0):
+def _tile_coords(bx, by, rx, ry, mx, my, ty0, tx0, period=None):
     """Mosaic-space coordinates of one output tile (TILE_Y, TILE_X).
 
-    All parameters are scalars (SMEM only permits scalar loads in-kernel).
+    All parameters are scalars (SMEM only permits scalar loads
+    in-kernel). ``period``: static full-turn width in pixels for
+    periodic (wrap-around) canvases — columns past the seam sample at
+    their final mosaic column's azimuth (see render.backward_warp_all).
     """
     # tpu.iota is integer-only; cast after
     yi = lax.broadcasted_iota(jnp.int32, (TILE_Y, TILE_X), 0
                               ).astype(jnp.float32) + ty0
     xi = lax.broadcasted_iota(jnp.int32, (TILE_Y, TILE_X), 1
                               ).astype(jnp.float32) + tx0
-    xs = (xi + bx) * rx + mx
+    px = xi + bx
+    if period is not None:
+        px = px - jnp.float32(period) * (px >= period)
+    xs = px * rx + mx
     ys = (yi + by) * ry + my
     return xs, ys
 
@@ -96,7 +102,8 @@ def _level_dims(img_shape: Tuple[int, int], lvl: int):
 
 def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
                  resolution: np.ndarray, range_min: np.ndarray,
-                 img_shape: Tuple[int, int], ph: int, pw: int):
+                 img_shape: Tuple[int, int], ph: int, pw: int,
+                 period: "int | None" = None):
     """Per-tile source windows with mip-level selection (host, numpy).
 
     Returns ``(origins (N, nty, ntx, 3) int32 [y, x, level], eligible,
@@ -132,7 +139,12 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
     max_lvl = 0
     need = {}
     for k in range(n):
-        mx = (gx + bottoms[k, 0]) * resolution[0] + range_min[0]
+        gxa = gx + bottoms[k, 0]
+        if period is not None:
+            # periodic canvas: columns past the seam sample at their
+            # FINAL mosaic column's azimuth (render.backward_warp_all)
+            gxa = gxa - period * (gxa >= period)
+        mx = gxa * resolution[0] + range_min[0]
         my = (gy + bottoms[k, 1]) * resolution[1] + range_min[1]
         sxv, txv, cxv = np.sin(mx), np.tan(my), np.cos(mx)
         p = projs[k]
@@ -194,9 +206,10 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
 
 
 def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int,
-                      n_levels: int):
+                      n_levels: int, period: "int | None" = None):
     """``h``/``w``: TRUE image dims for validity masking (the mip buffers
-    themselves are edge-padded to (8, 128) tiling and to the window)."""
+    themselves are edge-padded to (8, 128) tiling and to the window).
+    ``period``: static periodic-canvas width (None = aperiodic)."""
     def _warp_kernel(origin_ref, proj_ref, bottom_ref, res_ref, rmin_ref,
                      *rest):
         mip_refs = rest[:n_levels]
@@ -228,7 +241,8 @@ def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int,
                               res_ref[0, 0], res_ref[0, 1],
                               rmin_ref[0, 0], rmin_ref[0, 1],
                               (ti * TILE_Y).astype(jnp.float32),
-                              (tj * TILE_X).astype(jnp.float32))
+                              (tj * TILE_X).astype(jnp.float32),
+                              period)
         x_pr, y_pr, invalid = _project(xs, ys, p, w, h)
 
         # full-res sample position -> mip-level coordinates (pixel-center
@@ -320,11 +334,12 @@ def build_mips(imgs_planar: jnp.ndarray, n_levels: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("ph", "pw", "win_y", "win_x",
-                                    "img_shape", "interpret"))
+                                    "img_shape", "interpret", "period"))
 def pallas_backward_warp(mips, projs, bottoms, resolution, range_min,
                          origins, ph: int, pw: int, win_y: int, win_x: int,
                          img_shape: Tuple[int, int] = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         period: "int | None" = None):
     """All-region backward warp via the fused Pallas kernel.
 
     mips: list of (N, 4, Hl, Wl) float32 RGBA mip levels (planar layout so
@@ -363,7 +378,7 @@ def pallas_backward_warp(mips, projs, bottoms, resolution, range_min,
 
     out, mask = pl.pallas_call(
         _make_warp_kernel(win_y, win_x, int(true_h), int(true_w),
-                          len(mips)),
+                          len(mips), period),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, php, pwp), jnp.float32),

@@ -161,6 +161,48 @@ class TestPallasWarp:
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr > 25, psnr
 
+    def test_matches_xla_path_periodic(self):
+        """Periodic (wrap-around) canvas: a window crossing the seam must
+        sample fold columns at their final column's azimuth, matching the
+        XLA path's period logic exactly.
+
+        period MUST be the true full-turn width (2*pi / res_x): the ray
+        is then continuous across the seam (sin/cos periodicity), which
+        the kernel's corner-based window planning relies on. The
+        crossing view is yawed to look at the seam so its window holds
+        real content."""
+        rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup()
+        bottoms = bottoms.copy()
+        period = int(round(2 * np.pi / float(resolution[0])))
+        # move view 0's window one full turn up so it crosses the seam:
+        # columns past `period` sample at az - 2*pi, i.e. exactly the
+        # view's original content (the fold's final columns)
+        bottoms[0, 0] += period - pw // 2 - int(bottoms[0, 0])
+        args = (jnp.asarray(projs, jnp.float32),
+                jnp.asarray(bottoms, jnp.int32),
+                jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(im_range[0], jnp.float32))
+        px, ix = render.backward_warp_all(rgba, *args, ph, pw,
+                                          period=period)
+
+        origins, ok, wy, wx, nl = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw,
+            period=period)
+        assert ok, "periodic test scene should be eligible"
+        mips = PW.build_mips(jnp.moveaxis(rgba, -1, 1), nl, wy, wx)
+        pp, ip = PW.pallas_backward_warp(
+            mips, *args, jnp.asarray(origins), ph, pw, wy, wx,
+            img_shape=hw, interpret=True, period=period)
+
+        ixn, ipn = np.asarray(ix), np.asarray(ip)
+        np.testing.assert_array_equal(ixn, ipn)
+        # the crossing window must actually produce valid content on
+        # both sides of the seam
+        assert (~ixn[0]).any()
+        val = ~ixn
+        diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
+        assert diff.max() < 1e-4, diff.max()
+
     def test_stitch_pallas_flag_cpu_fallback(self):
         """use_pallas=None on CPU silently uses the XLA path."""
         imgs, rots, focal = synth.make_views(n_views=2, shape=(120, 160),
