@@ -42,37 +42,23 @@ def gt_regions(n_views, shape, seed):
 
 
 def warp_setup(regions, max_resolution):
-    """Everything stitch does before the warp, shared by both paths."""
-    n = len(regions)
+    """Everything stitch does before the warp, shared by both paths —
+    the PRODUCTION layout (``render.plan_layout``), including periodic
+    seam-crossing windows."""
     h, w = regions[0].img.shape[:2]
     imgs = jnp.asarray(np.stack([r.img for r in regions])
                        ).astype(jnp.float32) / 255.0
     homs = np.stack([r.hom() for r in regions])
-    rmin, rmax = render.proj_img_range_border((h, w), jnp.asarray(homs))
-    rmin, rmax = np.asarray(rmin, np.float64), np.asarray(rmax, np.float64)
+    ranges = np.asarray(render.proj_img_range_border(
+        (h, w), jnp.asarray(homs), unwrapped=True), np.float64)
     for k, reg in enumerate(regions):
-        reg.range = (rmin[k], rmax[k])
+        reg.range = (ranges[0][k], ranges[1][k])
     imgs_rgba = render.add_weights(imgs)
-    resolution, im_range = render.estimate_resolution(regions,
-                                                      max_resolution)
-    target = (im_range[1] - im_range[0]) / resolution
-    shape = tuple(int(t) for t in np.round(target))[::-1]
-    bottoms, tops = [], []
-    for reg in regions:
-        bottom = np.round((reg.range[0] - im_range[0]) / resolution)
-        top = np.round((reg.range[1] - im_range[0]) / resolution)
-        bottoms.append(np.maximum(bottom.astype(np.int64) - 10, 0))
-        tops.append(np.minimum(top.astype(np.int64) + 10,
-                               target.astype(np.int64)))
-    bottoms, tops = np.stack(bottoms), np.stack(tops)
-    ph = int((tops[:, 1] - bottoms[:, 1]).max())
-    pw = int((tops[:, 0] - bottoms[:, 0]).max())
-    ph, pw = min(ph, shape[0]), min(pw, shape[1])
-    bottoms[:, 0] = np.clip(bottoms[:, 0], 0, shape[1] - pw)
-    bottoms[:, 1] = np.clip(bottoms[:, 1], 0, shape[0] - ph)
+    lay = render.plan_layout(regions, ranges, "multiband",
+                             max_resolution)
     projs = np.stack([r.proj() for r in regions])
-    return (imgs_rgba, projs, bottoms, resolution, im_range, ph, pw,
-            (h, w))
+    return (imgs_rgba, projs, lay.bottoms, lay.resolution, lay.im_range,
+            lay.ph, lay.pw, (h, w), lay.period)
 
 
 def time_fn(fn, n_runs=5):
@@ -103,8 +89,8 @@ def masked_psnr(a, b, valid):
 
 
 def bench_regime(name, regions, max_resolution, out):
-    (imgs_rgba, projs, bottoms, resolution, im_range, ph, pw,
-     hw) = warp_setup(regions, max_resolution)
+    (imgs_rgba, projs, bottoms, resolution, im_range, ph, pw, hw,
+     period) = warp_setup(regions, max_resolution)
     h, w = hw
 
     xargs = (imgs_rgba, jnp.asarray(projs, jnp.float32),
@@ -115,15 +101,18 @@ def bench_regime(name, regions, max_resolution, out):
     @jax.jit
     def xla_sum(imgs_rgba, projs_d, bottoms_d, res_d, rmin_d):
         p, m = render.backward_warp_all(imgs_rgba, projs_d, bottoms_d,
-                                        res_d, rmin_d, ph, pw)
+                                        res_d, rmin_d, ph, pw,
+                                        period=period)
         return jnp.sum(p), jnp.sum(m)
 
     t_xla = time_fn(lambda: xla_sum(*xargs)[0])
 
     origins, ok, win_y, win_x, n_levels = PW.plan_windows(
-        projs, bottoms, resolution, im_range[0], (h, w), ph, pw)
+        projs, bottoms, resolution, im_range[0], (h, w), ph, pw,
+        period=period)
     row = {"xla_gather_ms": round(t_xla * 1e3, 1),
            "views": len(regions), "img": [h, w], "patch": [ph, pw],
+           "periodic": period is not None,
            "eligible": bool(ok), "n_levels": int(n_levels)}
     if ok:
         planar = jnp.moveaxis(imgs_rgba, -1, 1)
@@ -138,14 +127,15 @@ def bench_regime(name, regions, max_resolution, out):
         def kern_sum(mips, projs_d, bottoms_d, res_d, rmin_d, origins_d):
             p, m = PW.pallas_backward_warp(
                 mips, projs_d, bottoms_d, res_d, rmin_d, origins_d,
-                ph, pw, win_y, win_x, img_shape=(h, w))
+                ph, pw, win_y, win_x, img_shape=(h, w), period=period)
             return jnp.sum(p), jnp.sum(m)
 
         t_kern = time_fn(lambda: kern_sum(mips, *kargs)[0])
         p_x, m_x = jax.jit(lambda *a: render.backward_warp_all(
-            *a, ph, pw))(*xargs)
+            *a, ph, pw, period=period))(*xargs)
         p_k, _ = PW.pallas_backward_warp(mips, *kargs, ph, pw,
-                                         win_y, win_x, img_shape=(h, w))
+                                         win_y, win_x, img_shape=(h, w),
+                                         period=period)
         valid = ~np.asarray(m_x)
         row.update({"pallas_ms": round(t_kern * 1e3, 1),
                     "win": [win_y, win_x],

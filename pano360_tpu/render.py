@@ -24,7 +24,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -671,6 +671,132 @@ def _crop_valid(invalid: np.ndarray, bottoms: np.ndarray, ph: int,
     return valid[:, :shape[1]]
 
 
+class MosaicLayout(NamedTuple):
+    """Canvas + patch-window geometry shared by stitch() and the warp
+    benchmarks (host-side plan; see ``plan_layout``)."""
+
+    shape: Tuple[int, int]      # padded canvas (H, W) for the blenders
+    out_hw: Tuple[int, int]     # true output (H, W) sliced at the end
+    bottoms: np.ndarray         # (N, 2) int patch origins [x, y]
+    wins: np.ndarray            # (N, 4) true windows [lo_x, lo_y, hi_x, hi_y)
+    ph: int                     # shared patch height
+    pw: int                     # shared patch width
+    period: Optional[int]       # full-turn width when periodic, else None
+    resolution: np.ndarray      # (2,) rad/px
+    im_range: Tuple[np.ndarray, np.ndarray]
+
+
+def plan_layout(regions: List[PanoImage], ranges: np.ndarray,
+                blender: str, max_resolution: int,
+                proj=geo.SphProj) -> MosaicLayout:
+    """Canvas shape, patch windows and periodicity for a render.
+
+    ``ranges``: the (4, N, 2) [rmin, rmax, uw_min, uw_max] array from
+    ``proj_img_range_border(unwrapped=True)``; ``regions[k].range`` must
+    already hold the wrapped range (canvas/resolution parity with the
+    reference, stitcher.py:142-157). Seam-crossing views get windows
+    from their UNWRAPPED ranges and paste modulo the full-turn width
+    ``period`` (see the blender fold logic).
+    """
+    n = len(regions)
+    rmin, rmax, uw_min, uw_max = np.asarray(ranges, np.float64)
+    resolution, im_range = estimate_resolution(regions, max_resolution,
+                                               proj)
+    target = (im_range[1] - im_range[0]) / resolution
+    shape = tuple(int(t) for t in np.round(target))[::-1]  # (H, W)
+
+    # Periodic canvas: a view crossing the azimuth seam has a wrapped
+    # range degenerating to ~[-pi, pi] (full canvas width); its UNWRAPPED
+    # range keeps the true footprint, with the patch pasted modulo the
+    # full-turn width ``period`` (canvas/resolution stay on the wrapped
+    # ranges for reference parity; see the fold logic in the blenders).
+    period = int(round(2 * np.pi / resolution[0]))
+    # half-pixel threshold: the unwrap mod-chain carries a few f32 ULPs
+    # of rounding (~1e-6 rad), so a too-tight epsilon flags non-crossing
+    # views on every scene; crossings below half a pixel don't need the
+    # periodic path anyway
+    eps = 0.5 * float(resolution[0])
+    crossing = ((uw_min[:, 0] < im_range[0][0] - eps)
+                | (uw_max[:, 0] > im_range[1][0] + eps))
+    # the canvas spans (just under) the full turn whenever any view
+    # crosses the seam — its wrapped range forces ~[-pi, pi], with the
+    # border sampling undershooting the exact extremes by a few pixels;
+    # period < width would mean a canvas wider than one turn (impossible
+    # for wrapped ranges, guarded for degenerate resolutions)
+    use_wrap = bool(crossing.any()) and period + 1 >= shape[1]
+
+    lo_r = np.where(crossing[:, None], uw_min, rmin) if use_wrap else rmin
+    hi_r = np.where(crossing[:, None], uw_max, rmax) if use_wrap else rmax
+    bottoms, tops = [], []
+    for k in range(n):
+        bottom = np.round((lo_r[k] - im_range[0]) / resolution)
+        top = np.round((hi_r[k] - im_range[0]) / resolution)
+        bottom, top = bottom.astype(np.int64), top.astype(np.int64)
+        if blender == "multiband":   # pad to avoid sharp edges
+            bottom, top = bottom - 10, top + 10
+            bottom[1] = max(bottom[1], 0)           # y: canvas-clamped
+            top[1] = min(top[1], int(target[1]))
+            if not use_wrap:                        # x: only if aperiodic
+                bottom[0] = max(bottom[0], 0)
+                top[0] = min(top[0], int(target[0]))
+        bottoms.append(bottom)
+        tops.append(top)
+    bottoms = np.stack(bottoms)
+    tops = np.stack(tops)
+    if use_wrap and int((tops[:, 0] - bottoms[:, 0]).max()) > period:
+        # a single window wider than the full turn (degenerate): fall
+        # back to the non-periodic full-width path
+        use_wrap = False
+        bottoms = np.round((rmin - im_range[0]) / resolution).astype(np.int64)
+        tops = np.round((rmax - im_range[0]) / resolution).astype(np.int64)
+        if blender == "multiband":
+            bottoms = np.maximum(bottoms - 10, 0)
+            tops = np.minimum(tops + 10, target.astype(np.int64))
+
+    # one padded patch shape for all regions (static under jit)
+    ph = int((tops[:, 1] - bottoms[:, 1]).max())
+    pw = int((tops[:, 0] - bottoms[:, 0]).max())
+    # compile-shape bucketing: the mosaic canvas is padded to 64-px
+    # multiples and the patch windows to 32-px multiples (the canvas
+    # padding is sliced off after blending). The true extent bounds
+    # every region's projection, so the padding never receives content;
+    # in exchange, runs whose scene spread differs slightly (same rig,
+    # different scene) reuse one warp+blend program instead of
+    # recompiling per mosaic shape. Canvas padding costs only a few
+    # mosaic-sized VPU passes; patch padding costs warp+blur area, hence
+    # the finer 32-px grain (<=16% overhead vs <=33% at 64).
+    out_hw = shape
+    if os.environ.get("P360_BUCKET_CANVAS", "1") == "1":
+        shape = (-(-shape[0] // 64) * 64, -(-shape[1] // 64) * 64)
+    if os.environ.get("P360_BUCKET_PATCH", "1") == "1":
+        ph = -(-ph // 32) * 32
+        pw = -(-pw // 32) * 32
+    # true per-region windows [lo_x, lo_y, hi_x, hi_y): whenever padding
+    # or the shared (ph, pw) enlarges a patch past its region's own bbox,
+    # the warp masks the excess so it receives no content (the reference
+    # renders strictly inside each bbox; without this, padded windows
+    # paint real backward-projected content into mosaic rows/cols the
+    # reference leaves empty — a 43 dB paste-parity regression).
+    wins = np.concatenate([bottoms, tops], axis=1)
+    # clamp: a patch window must fit inside the mosaic for dynamic slicing
+    ph, pw = min(ph, shape[0]), min(pw, shape[1])
+    if use_wrap:
+        # periodic x: origins wrap into [0, period); the paste canvas is
+        # x-extended by pw so every window fits contiguously, and wins
+        # shift with their origin so the warp's unwrapped-coord masking
+        # stays consistent
+        x0 = bottoms[:, 0] % period
+        shift = x0 - bottoms[:, 0]
+        wins[:, 0] += shift
+        wins[:, 2] += shift
+        bottoms[:, 0] = x0
+    else:
+        bottoms[:, 0] = np.clip(bottoms[:, 0], 0, shape[1] - pw)
+    bottoms[:, 1] = np.clip(bottoms[:, 1], 0, shape[0] - ph)
+    return MosaicLayout(shape, out_hw, bottoms, wins, ph, pw,
+                        period if use_wrap else None, resolution, im_range)
+
+
 # ---------------------------------------------------------------------------
 # Stitch orchestration (stitcher.py:274-327)
 # ---------------------------------------------------------------------------
@@ -752,95 +878,10 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
                                None if uniform else shapes)
         gains = jnp.asarray(gains, jnp.float32)
 
-    resolution, im_range = estimate_resolution(regions, max_resolution,
-                                               proj)
-    target = (im_range[1] - im_range[0]) / resolution
-    shape = tuple(int(t) for t in np.round(target))[::-1]  # (H, W)
-
-    # Periodic canvas: a view crossing the azimuth seam has a wrapped
-    # range degenerating to ~[-pi, pi] (full canvas width); its UNWRAPPED
-    # range keeps the true footprint, with the patch pasted modulo the
-    # full-turn width ``period`` (canvas/resolution stay on the wrapped
-    # ranges for reference parity; see the fold logic in the blenders).
-    period = int(round(2 * np.pi / resolution[0]))
-    crossing = ((uw_min[:, 0] < im_range[0][0] - 1e-9)
-                | (uw_max[:, 0] > im_range[1][0] + 1e-9))
-    # the canvas spans (just under) the full turn whenever any view
-    # crosses the seam — its wrapped range forces ~[-pi, pi], with the
-    # border sampling undershooting the exact extremes by a few pixels;
-    # period < width would mean a canvas wider than one turn (impossible
-    # for wrapped ranges, guarded for degenerate resolutions)
-    use_wrap = bool(crossing.any()) and period + 1 >= shape[1]
-
-    lo_r = np.where(crossing[:, None], uw_min, rmin) if use_wrap else rmin
-    hi_r = np.where(crossing[:, None], uw_max, rmax) if use_wrap else rmax
-    bottoms, tops = [], []
-    for k in range(n):
-        bottom = np.round((lo_r[k] - im_range[0]) / resolution)
-        top = np.round((hi_r[k] - im_range[0]) / resolution)
-        bottom, top = bottom.astype(np.int64), top.astype(np.int64)
-        if blender == "multiband":   # pad to avoid sharp edges
-            bottom, top = bottom - 10, top + 10
-            bottom[1] = max(bottom[1], 0)           # y: canvas-clamped
-            top[1] = min(top[1], int(target[1]))
-            if not use_wrap:                        # x: only if aperiodic
-                bottom[0] = max(bottom[0], 0)
-                top[0] = min(top[0], int(target[0]))
-        bottoms.append(bottom)
-        tops.append(top)
-    bottoms = np.stack(bottoms)
-    tops = np.stack(tops)
-    if use_wrap and int((tops[:, 0] - bottoms[:, 0]).max()) > period:
-        # a single window wider than the full turn (degenerate): fall
-        # back to the non-periodic full-width path
-        use_wrap = False
-        bottoms = np.round((rmin - im_range[0]) / resolution).astype(np.int64)
-        tops = np.round((rmax - im_range[0]) / resolution).astype(np.int64)
-        if blender == "multiband":
-            bottoms = np.maximum(bottoms - 10, 0)
-            tops = np.minimum(tops + 10, target.astype(np.int64))
-
-    # one padded patch shape for all regions (static under jit)
-    ph = int((tops[:, 1] - bottoms[:, 1]).max())
-    pw = int((tops[:, 0] - bottoms[:, 0]).max())
-    # compile-shape bucketing: the mosaic canvas is padded to 64-px
-    # multiples and the patch windows to 32-px multiples (the canvas
-    # padding is sliced off after blending). The true extent bounds
-    # every region's projection, so the padding never receives content;
-    # in exchange, runs whose scene spread differs slightly (same rig,
-    # different scene) reuse one warp+blend program instead of
-    # recompiling per mosaic shape. Canvas padding costs only a few
-    # mosaic-sized VPU passes; patch padding costs warp+blur area, hence
-    # the finer 32-px grain (<=16% overhead vs <=33% at 64).
-    out_h, out_w = shape
-    if os.environ.get("P360_BUCKET_CANVAS", "1") == "1":
-        shape = (-(-shape[0] // 64) * 64, -(-shape[1] // 64) * 64)
-    if os.environ.get("P360_BUCKET_PATCH", "1") == "1":
-        ph = -(-ph // 32) * 32
-        pw = -(-pw // 32) * 32
-    # true per-region windows [lo_x, lo_y, hi_x, hi_y): whenever padding
-    # or the shared (ph, pw) enlarges a patch past its region's own bbox,
-    # the warp masks the excess so it receives no content (the reference
-    # renders strictly inside each bbox; without this, padded windows
-    # paint real backward-projected content into mosaic rows/cols the
-    # reference leaves empty — a 43 dB paste-parity regression).
-    wins = np.concatenate([bottoms, tops], axis=1)
-    # clamp: a patch window must fit inside the mosaic for dynamic slicing
-    ph, pw = min(ph, shape[0]), min(pw, shape[1])
-    if use_wrap:
-        # periodic x: origins wrap into [0, period); the paste canvas is
-        # x-extended by pw so every window fits contiguously, and wins
-        # shift with their origin so the warp's unwrapped-coord masking
-        # stays consistent
-        x0 = bottoms[:, 0] % period
-        shift = x0 - bottoms[:, 0]
-        wins[:, 0] += shift
-        wins[:, 2] += shift
-        bottoms[:, 0] = x0
-    else:
-        bottoms[:, 0] = np.clip(bottoms[:, 0], 0, shape[1] - pw)
-    bottoms[:, 1] = np.clip(bottoms[:, 1], 0, shape[0] - ph)
-    wrap_period = period if use_wrap else None
+    layout = plan_layout(regions, ranges, blender, max_resolution, proj)
+    (shape, (out_h, out_w), bottoms, wins, ph, pw, wrap_period,
+     resolution, im_range) = layout
+    use_wrap = wrap_period is not None
 
     projs = np.stack([r.proj() for r in regions])
     if mesh is not None:
@@ -942,6 +983,6 @@ __all__ = [
     "MAX_RESOLUTION", "proj_img_range_border", "proj_img_range_corners",
     "estimate_resolution", "hat", "add_weights", "find_gains",
     "estimate_gains", "apply_gains", "equalize_gains",
-    "backward_warp_all",
+    "backward_warp_all", "MosaicLayout", "plan_layout",
     "blend_none", "blend_linear", "blend_multiband", "BLENDERS", "stitch",
 ]
