@@ -76,7 +76,7 @@ def knn2_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
     # the whole row on TPU; two passes over the distance matrix are ~10x
     # cheaper at panorama descriptor counts)
     best_idx = jnp.argmin(dist2, axis=1)
-    d1min = jnp.take_along_axis(dist2, best_idx[:, None], axis=1)[:, 0]
+    d1min = jnp.min(dist2, axis=1)   # == dist2[i, best_idx[i]], no gather
     cols = jnp.arange(dist2.shape[1])[None, :]
     masked = jnp.where(cols == best_idx[:, None], jnp.inf, dist2)
     d2min = jnp.min(masked, axis=1)
@@ -225,11 +225,18 @@ def ransac_homography(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
 
     # sample 4 valid indices per hypothesis: draw u ~ U[0, n_valid) and map
-    # through the cumulative count of valid entries
+    # ranks to row indices through a scatter-built rank map (valid row with
+    # 1-based rank r scatters its index to slot r-1; invalid rows scatter
+    # out of bounds and drop). A jnp.searchsorted binary search per draw
+    # computes the same map but measured 119 ms of the 187 ms match
+    # dispatch (63% of the whole matcher) vs ~0 for the scatter+gather
+    # form; draws with >= 1 valid entry are bit-identical either way.
     cum = jnp.cumsum(valid.astype(jnp.int32))          # 1-based ranks
+    pos = jnp.where(valid, cum - 1, m)
+    rank_map = jnp.zeros((m,), jnp.int32).at[pos].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
     draws = jax.random.randint(key, (n_iters, 4), 0, n_valid)
-    sample_idx = jnp.searchsorted(cum, draws + 1)      # (K, 4) into [0, M)
-    sample_idx = jnp.clip(sample_idx, 0, m - 1)
+    sample_idx = rank_map[draws]                       # (K, 4) into [0, M)
 
     s1 = p1[sample_idx]                                # (K, 4, 2)
     s2 = p2[sample_idx]
