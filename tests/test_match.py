@@ -145,6 +145,25 @@ class TestRansac:
         est = np.asarray(est)
         assert reproj_rms(est / est[2, 2], hom) < 0.25
 
+    def test_rank_map_equals_searchsorted_sampling(self):
+        # the scatter-built rank map (match.py::ransac_homography) must
+        # reproduce the rank -> row-index mapping of the searchsorted
+        # formulation it replaced, for arbitrary validity masks
+        rng = np.random.default_rng(11)
+        for frac in (0.03, 0.3, 0.9, 1.0):
+            m = 256
+            valid = rng.random(m) < frac
+            valid[0] = True                     # >= 1 survivor
+            n_valid = int(valid.sum())
+            cum = np.cumsum(valid.astype(np.int32))
+            draws = rng.integers(0, n_valid, (512, 4))
+            via_search = np.searchsorted(cum, draws + 1)
+            pos = np.where(valid, cum - 1, m)
+            rank_map = np.zeros(m, np.int32)
+            ok = pos < m
+            rank_map[pos[ok]] = np.arange(m)[ok]
+            npt.assert_array_equal(rank_map[draws], via_search)
+
     def test_deterministic(self):
         p1, p2, _ = synthetic_correspondences()
         v = jnp.ones(len(p1), bool)
