@@ -69,9 +69,18 @@ def main():
         "unit": "s",
         "vs_baseline": round(vs_baseline, 2),
     }), flush=True)
-    # extra detail on stderr (not part of the contract line)
+    # extra detail on stderr (not part of the contract line): the relay
+    # link rate swings 18-86 MB/s between windows and bounds e2e from
+    # below (45 MB upload rides the critical path), so record it
+    import jax
+    import numpy as _np
+    probe = _np.zeros((8 << 20,), _np.uint8)
+    t0 = time.time()
+    _np.asarray(jax.device_put(probe))[0]
+    mbps = (2 * probe.nbytes / 1e6) / max(time.time() - t0, 1e-9)
     print(f"# warmup={warm:.1f}s samples={[round(s, 3) for s in samples]} "
-          f"mosaic={mosaic.shape}", file=sys.stderr)
+          f"mosaic={mosaic.shape} link~{mbps:.0f}MB/s(roundtrip)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
