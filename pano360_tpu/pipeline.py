@@ -120,6 +120,23 @@ def _compact_buffers(kp_buf, ds_buf, sel, counts):
     return kp_c, ds_c, va_c
 
 
+@functools.partial(jax.jit, static_argnames=("ccap",))
+def _compact_buffers_dev(kp_buf, ds_buf, va_buf, counts, ccap: int):
+    """Device-side compaction: valid rows first, ascending index order.
+
+    Same selection the host loop builds from ``np.flatnonzero`` (stable
+    argsort of ~valid lists valid indices ascending), but computed on
+    device so the match dispatch does not have to wait for the packed
+    keypoint blob to cross the link first. Rows past each image's count
+    hold arbitrary (invalid-row) data; every consumer masks by ``va_c``.
+    """
+    sel = jnp.argsort(~va_buf, axis=1, stable=True)[:, :ccap]
+    kp_c = jnp.take_along_axis(kp_buf, sel[..., None], axis=1)
+    ds_c = jnp.take_along_axis(ds_buf, sel[..., None], axis=1)
+    va_c = jnp.arange(ccap)[None, :] < counts[:, None]
+    return kp_c, ds_c, va_c
+
+
 @jax.jit
 def _pack_kp_valid(kp_buf, va_buf):
     """Keypoints + validity as ONE f32 blob: a single host pull.
@@ -279,6 +296,7 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
                                        for k in kpts]))
         kpts_host = kpts
         remap = None
+        kv_dev = None
     else:
         if feats is None:
             cfg = S.SiftConfig(max_kpts=max_kpts)
@@ -302,34 +320,28 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
         kp_buf = feats.xy - cents[:, None, :]
         ds_buf = S.root_sift(feats.desc)
         va_buf = feats.valid
-        cap = int(feats.xy.shape[1])
+        cap0 = cap = int(feats.xy.shape[1])
 
-        # host copies for the cache (compacted); ONE packed pull — two
-        # separate np.asarray calls cost two relay round trips
-        kv = np.asarray(_pack_kp_valid(kp_buf, va_buf))
-        kp_np = kv[:, : 2 * cap].reshape(n, cap, 2)
-        valid_np = kv[:, 2 * cap:] > 0.5
-        kpts_host = [kp_np[i][valid_np[i]].astype(np.float32)
-                     for i in range(n)]
+        # enqueue the packed host copy of keypoints+validity (the cache
+        # needs it), but defer the blocking pull until AFTER the match
+        # dispatch is enqueued: the blob transfer then rides under the
+        # match compute instead of gating it. Compaction is decided from
+        # ONE scalar pull (max count) and performed on device.
+        kv_dev = _pack_kp_valid(kp_buf, va_buf)
+        counts_dev = jnp.sum(va_buf.astype(jnp.int32), axis=1)
+        cmax = int(jnp.max(counts_dev))
 
         # compact the padded buffers to the max valid count: matching cost
         # scales with cap^2 (distance matrices), so unfilled capacity is
         # pure waste; compaction also makes match indices directly index
         # the compacted per-image keypoint lists (the cache format)
-        counts = valid_np.sum(axis=1).astype(np.int32)
-        cmax = int(counts.max()) if n else 0
         ccap = max(64, 1 << max(cmax - 1, 0).bit_length())
         if ccap < cap:
-            sel = np.zeros((n, ccap), np.int32)
-            for i in range(n):
-                nz = np.flatnonzero(valid_np[i])
-                sel[i, : len(nz)] = nz
-            kp_buf, ds_buf, va_buf = _compact_buffers(
-                kp_buf, ds_buf, jnp.asarray(sel), jnp.asarray(counts))
+            kp_buf, ds_buf, va_buf = _compact_buffers_dev(
+                kp_buf, ds_buf, va_buf, counts_dev, ccap)
             cap = ccap
-            remap = None   # compacted: matches index the compact lists
-        else:
-            remap = np.cumsum(valid_np, axis=1) - 1    # pad->compact
+        kpts_host = None   # pulled after the match dispatch
+        remap = None
         LOG.info("Extracted keypoints, time: %s", time.time() - start)
 
     pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
@@ -353,6 +365,18 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
     else:
         res_dev = pm.match_all_pairs(kp_buf, ds_buf, va_buf, pa, pb, keys,
                                      batch_size=batch)
+    if kv_dev is not None:
+        # host copies for the cache: ONE packed pull, issued while the
+        # match dispatch runs on device (two separate np.asarray calls
+        # cost two relay round trips; pulling before the dispatch gated
+        # the matcher on the blob transfer)
+        kv = np.asarray(kv_dev)
+        kp_np = kv[:, : 2 * cap0].reshape(n, cap0, 2)
+        valid_np = kv[:, 2 * cap0:] > 0.5
+        kpts_host = [kp_np[i][valid_np[i]].astype(np.float32)
+                     for i in range(n)]
+        if cap == cap0:
+            remap = np.cumsum(valid_np, axis=1) - 1    # pad->compact
     # the whole match graph comes back as ONE packed pull (a tree_map of
     # np.asarray pays a ~35 ms relay round trip per leaf)
     res_np = _unpack_match_results(
