@@ -23,7 +23,7 @@ sys.path.insert(0, ROOT)
 import cv2
 if not hasattr(cv2, "xfeatures2d"):
     cv2.xfeatures2d = types.SimpleNamespace(SIFT_create=cv2.SIFT_create)
-if not hasattr(np, "object"):
+if "object" not in np.__dict__:
     np.object = object
 sys.path.insert(0, "/root/reference")
 

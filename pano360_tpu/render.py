@@ -507,9 +507,16 @@ def blend_multiband(patches, masks, bottoms, shape: Tuple[int, int],
         marg = packed[:, period:period + pw]
         main = packed[:, :shape[1]]
         take = (marg[..., 0] > main[:, :pw, 0])[..., None]
-        packed = main.at[:, :pw].set(jnp.where(take, marg, main[:, :pw]))
+        folded = main.at[:, :pw].set(jnp.where(take, marg, main[:, :pw]))
+        if period > shape[1]:
+            # the canvas undershoots a full turn (border-sampled extent,
+            # see _ext): columns [shape[1], period) hold winners past the
+            # crop edge that seam windows can still read — keep them, or
+            # the re-extension below is shifted by period - shape[1] px
+            folded = jnp.concatenate(
+                [folded, packed[:, shape[1]:period]], axis=1)
         packed = jnp.concatenate(
-            [packed[:, :period], packed[:, :ext[1] - period]], axis=1)
+            [folded[:, :period], folded[:, :ext[1] - period]], axis=1)
     best_i = packed[..., 1].astype(jnp.int32)
 
     # sharp masks: alpha := (argmax == k) (stitcher.py:207-209)
@@ -661,7 +668,10 @@ def _crop_valid(invalid: np.ndarray, bottoms: np.ndarray, ph: int,
     With a periodic canvas the spilled strip folds back like the
     blenders' pastes do.
     """
-    ext_w = shape[1] + (pw if period is not None else 0)
+    # mirror _ext: pastes land at x0 up to period-1, so the extended
+    # canvas must anchor at max(width, period) or periodic scenes whose
+    # canvas undershoots the full turn (period > shape[1]) overflow
+    ext_w = shape[1] if period is None else max(shape[1], period) + pw
     valid = np.zeros((shape[0], ext_w), bool)
     for k in range(invalid.shape[0]):
         x0, y0 = bottoms[k]

@@ -13,7 +13,7 @@ import cv2
 
 if not hasattr(cv2, "xfeatures2d"):
     cv2.xfeatures2d = types.SimpleNamespace(SIFT_create=cv2.SIFT_create)
-if not hasattr(np, "object"):
+if "object" not in np.__dict__:  # hasattr would trip the FutureWarning
     np.object = object  # removed in numpy>=1.24; reference uses np.object
 
 if "/root/reference" not in sys.path:

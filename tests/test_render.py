@@ -200,6 +200,57 @@ class TestPeriodicCanvas:
         # (the true output width never exceeds one full turn)
         npt.assert_array_equal(out[:, :period], expect[:, :period])
 
+    def _narrow_vs_wide(self, blender, period=30, gap=2, n_extra_kw=None):
+        """period > shape[1] regime (canvas undershoots the full turn,
+        which plan_layout's border-sampled extent produces): blending on
+        the narrow canvas must equal the first W columns of blending on
+        a full-turn-wide canvas — the wide canvas has no crop edge
+        inside the turn, so it is ground truth for the fold and for the
+        seam-winner re-extension."""
+        rng = np.random.default_rng(7)
+        ph, pw = 8, 12
+        shape_n = (12, period - gap)           # canvas NARROWER than period
+        shape_w = (12, period)
+        patches = rng.uniform(0.1, 1.0, (3, ph, pw, 4)).astype(np.float32)
+        masks = np.zeros((3, ph, pw), bool)
+        masks[1, :2, :3] = True
+        # x0=25 spills past period; x0=20 covers the cropped-off columns
+        # [W, period); x0=3 is interior
+        bottoms = np.array([[25, 2], [20, 1], [3, 0]], np.int64)
+        fn = render.BLENDERS[blender]
+        out_n = np.asarray(fn(jnp.asarray(patches), jnp.asarray(masks),
+                              jnp.asarray(bottoms), shape_n, period=period))
+        out_w = np.asarray(fn(jnp.asarray(patches), jnp.asarray(masks),
+                              jnp.asarray(bottoms), shape_w, period=period))
+        npt.assert_array_equal(out_n, out_w[:, :shape_n[1]])
+
+    def test_fold_period_wider_than_canvas_linear(self):
+        self._narrow_vs_wide("linear")
+
+    def test_fold_period_wider_than_canvas_none(self):
+        self._narrow_vs_wide("none")
+
+    def test_fold_period_wider_than_canvas_multiband(self):
+        self._narrow_vs_wide("multiband")
+
+    def test_crop_valid_period_wider_than_canvas(self):
+        """_crop_valid must fit pastes at x0 up to period-1 and fold the
+        spilled strip exactly (previously raised ValueError)."""
+        period, ph, pw = 30, 8, 12
+        shape = (12, 28)
+        invalid = np.zeros((2, ph, pw), bool)
+        invalid[0, :, -2:] = True
+        bottoms = np.array([[25, 2], [20, 1]], np.int64)
+        got = render._crop_valid(invalid, bottoms, ph, pw, shape, period)
+        expect = np.zeros(shape, bool)
+        for k in range(2):
+            x0, y0 = bottoms[k]
+            for j in range(pw):
+                x = (x0 + j) % period
+                if x < shape[1]:
+                    expect[y0:y0 + ph, x] |= ~invalid[k, :, j]
+        npt.assert_array_equal(got, expect)
+
     @pytest.mark.slow
     def test_wrap_parity_with_reference(self):
         """Ours (narrow periodic windows) vs the reference (canvas-wide
