@@ -198,6 +198,35 @@ def main():
     print(f"parity-mode (no polish) gauge-aligned: {p_par:.2f} dB",
           flush=True)
 
+    # --- shared-match-graph decomposition: OUR traverse+render consumes
+    # the REFERENCE's match graph (the structure its NPZ cache holds,
+    # stitcher.py:423-428 / features.py:321), so the only remaining
+    # divergence vs the reference mosaic is BA + render. With 73 dB
+    # render parity, this isolates whether our registration itself (not
+    # our SIFT front end) reproduces the reference's optimum.
+    regions_smg = traverse(imgs, idx_to_keypoints(matches_r, kpts_r),
+                           badjust="incr")
+    m_smg = render.stitch(regions_smg, blender="multiband", dev_images=dev)
+    p_smg, sy_s, sx_s = psnr_subpixel(m_smg, m_ref)
+    out["shared_matchgraph_e2e_db"] = {"psnr": round(p_smg, 2),
+                                       "shift": [sy_s, sx_s]}
+    print(f"shared match graph (ref matches -> our BA+render): "
+          f"{p_smg:.2f} dB (shift {sy_s}, {sx_s})", flush=True)
+
+    # the reverse cell: the reference's BA+render on OUR match graph
+    # (our (kpts, matches) arrays are structure-compatible with the
+    # reference's idx_to_keypoints, features.py:283)
+    regs_rev = ref_ba.traverse(
+        imgs, ref_st.idx_to_keypoints(matches, kpts), badjust="incr")
+    m_rev = ref_st.stitch(
+        [ref_ba.Image(r.img.copy(), r.rot.copy(), r.intr.copy())
+         for r in regs_rev], blender=ref_st.multiband_blend)
+    p_rev, sy_r, sx_r = psnr_subpixel(m_ours, m_rev)
+    out["shared_matchgraph_ref_ba_db"] = {"psnr": round(p_rev, 2),
+                                          "shift": [sy_r, sx_r]}
+    print(f"shared match graph (our matches -> ref BA+render) vs our "
+          f"mosaic: {p_rev:.2f} dB", flush=True)
+
     # --- registration error vs synthetic ground truth (accounts for the
     # e2e PSNR numerically: two *independent* ML estimates each carry a
     # noise floor vs GT; their difference — not render fidelity — bounds

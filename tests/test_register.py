@@ -147,6 +147,100 @@ class TestTraverse:
                                                -1, 1)))
             assert ang < 0.5, f"{ang} deg"
 
+    def test_lm_core_first_reject_exit_equals_5_stall_schedule(self):
+        """Pin _lm_core's early exit against the literal stall budget.
+
+        _lm_core exits at the FIRST rejected step (register.py cond:
+        ``stalls < 1``), asserting equivalence to the reference's
+        5-further-stall budget (bundle_adj.py:341-343) by a frozen-state
+        argument: with fixed lambda and rollback-on-reject, the rolled-back
+        state reproduces the same linearization, the same step, and the
+        same rejection, so the extra stall iterations are no-ops. This
+        test runs the literal schedule — a host loop over the SAME
+        jitted linearization (R._lm_stats) and the same preconditioned
+        solve — under BOTH stall budgets and asserts bit-identical
+        (best, best_err) between them (same code path, so any difference
+        would be a real schedule divergence, not compiler roundoff); it
+        then ties _lm_core itself to the literal loop at f32-roundoff
+        tolerance (a fused while_loop body and an eager op-by-op loop
+        compile to different programs, so exact bitwise equality across
+        them is not defined).
+
+        (The reference's OTHER post-reject quirk — it carries the
+        rejected trial's residuals into the next RHS, bundle_adj.py:
+        320-335 — is a stale-linearization divergence from BOTH schedules
+        here; its effect is bounded by test_parity_with_reference_traverse
+        above.)
+        """
+        import jax
+
+        def literal_lm(params0, cam1, cam2, pts, mask, stall_budget,
+                       max_iter=100):
+            nc6 = params0.shape[0] * 6
+
+            def loss_of(p):
+                sq, n = R._loss_stats(p, cam1, cam2, pts, mask)
+                return jnp.sqrt(sq / jnp.maximum(n, 1.0))
+
+            cur = best = params0
+            best_err = loss_of(params0)
+            n_not_improved = 0
+            n_rejects_replayed = 0
+            for _ in range(max_iter):
+                _, _, jtj, jtr = R._lm_stats(cur, cam1, cam2, pts, mask)
+                # identical solve expression to _lm_core's body
+                jtj = jtj + R.LM_LAMBDA * jnp.eye(nc6, dtype=jtj.dtype)
+                d = jax.lax.rsqrt(jnp.diagonal(jtj) + 1e-12)
+                a = jtj * d[:, None] * d[None, :]
+                b = jtr * d
+                delta = (jnp.linalg.solve(a, b) * d).reshape(cur.shape)
+                trial = cur - delta
+                err = loss_of(trial)
+                if float(err) < float(best_err) - R.LM_MIN_IMPROVE:
+                    best_err = err
+                    best = cur = trial
+                else:
+                    n_not_improved += 1
+                    n_rejects_replayed += 1
+                    cur = best  # rollback, as self.cameras stays at best
+                    if n_not_improved > stall_budget:
+                        break
+            return np.asarray(best), float(best_err), n_rejects_replayed
+
+        for seed, noise, n_cams in ((3, 0.3, 4), (11, 1.5, 4), (5, 0.6, 3)):
+            cams, matches, _ = synthetic_problem(
+                n_cams=n_cams, n_pts=40, noise=noise, seed=seed)
+            iba = R.BundleAdjuster(n_cams, mode="none")
+            rng = np.random.default_rng(seed)
+            for i, c in enumerate(cams):
+                pert = np.asarray(geo.exp_so3(
+                    jnp.asarray(0.02 * rng.standard_normal(3))))
+                iba.cameras[i] = R.PanoImage(None, pert @ c.rot,
+                                             c.intr.copy())
+            for i in range(n_cams - 1):
+                iba.matches.append((i + 1, i, matches[i][i + 1][0]))
+            _, params, cam1, cam2, pts, mask = iba._assemble()
+            args = (jnp.asarray(params, jnp.float32), jnp.asarray(cam1),
+                    jnp.asarray(cam2), jnp.asarray(pts, jnp.float32),
+                    jnp.asarray(mask, jnp.float32))
+
+            best_core, err_core, _ = R._lm_optimize(*args)
+            best_5, err_5, n_rej = literal_lm(*args, stall_budget=5)
+            best_0, err_0, _ = literal_lm(*args, stall_budget=0)
+
+            # the stall budget must actually be exercised (otherwise the
+            # equivalence is vacuously true on this problem)
+            assert n_rej >= 6, "stall budget never exhausted"
+            # schedule equivalence, bitwise (same code path)
+            assert np.array_equal(best_5, best_0), (
+                np.abs(best_5 - best_0).max())
+            assert err_5 == err_0
+            # the fused device kernel lands at the same optimum up to
+            # cross-program f32 roundoff; compare by loss (the parameter
+            # vector has an unobservable global-rotation gauge direction
+            # along which roundoff-separated runs drift freely)
+            npt.assert_allclose(float(err_core), err_5, rtol=1e-4)
+
     def test_unconnected_camera_dropped(self):
         _, matches, _ = synthetic_problem(noise=0.2, seed=7)
         # 5th image with no matches
