@@ -213,6 +213,22 @@ def main():
     print(f"shared match graph (ref matches -> our BA+render): "
           f"{p_smg:.2f} dB (shift {sy_s}, {sx_s})", flush=True)
 
+    # same cell with the reference's exact fixed-lambda LM stop
+    # (polish=False): the remaining divergence is solver roundoff only,
+    # so THIS is the apples-to-apples >=40 dB criterion cell. With the
+    # default polish our cameras deliberately converge PAST the
+    # reference's under-converged stop (and land closer to ground truth,
+    # see vs_gt_mosaic_psnr_db), which costs vs-reference PSNR.
+    regions_smp = traverse(imgs, idx_to_keypoints(matches_r, kpts_r),
+                           badjust="incr", polish=False)
+    m_smp = render.stitch(regions_smp, blender="multiband",
+                          dev_images=dev)
+    p_smp, sy_p2, sx_p2 = psnr_subpixel(m_smp, m_ref)
+    out["shared_matchgraph_parity_db"] = {"psnr": round(p_smp, 2),
+                                          "shift": [sy_p2, sx_p2]}
+    print(f"shared match graph + reference LM stop (parity): "
+          f"{p_smp:.2f} dB (shift {sy_p2}, {sx_p2})", flush=True)
+
     # the reverse cell: the reference's BA+render on OUR match graph
     # (our (kpts, matches) arrays are structure-compatible with the
     # reference's idx_to_keypoints, features.py:283)

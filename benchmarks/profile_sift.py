@@ -1,18 +1,27 @@
 """Substage profile of sift_extract on the real TPU.
 
-Builds truncated jit programs from sift.py's internals and times them with
-forced readbacks, attributing cost by subtraction:
+Times PREFIXES of the production ``sift_extract`` program itself (its
+static ``upto`` argument stops after a named stage and returns a scalar
+checksum), attributing cost by subtraction:
 
   gauss   : base image + Gaussian stacks + DoG for all octaves
   cand    : + approx_max_k candidate selection
-  refine  : + Newton refinement + survivor compaction
+  refine  : + dense Newton-step-field refinement + survivor compaction
   patch   : + patch extraction / gradients
   full    : sift_extract (adds orientation + descriptor + global top-k)
 
+Round 3 built hand-maintained truncated copies of the octave loop, and
+long cold compiles of the deep blur-chain programs can kill the relay's
+TPU worker (observed: the same 9-octave program crashes the worker in
+one window and cold-compiles fine in 128 s in another). Two defenses:
+each stage runs in its OWN subprocess (a worker crash loses one stage
+attempt, not the run) with one retry, and the programs are prefixes of
+the production ``sift_extract`` itself rather than truncated copies.
+
 Run: python benchmarks/profile_sift.py
 """
-import functools
 import os
+import subprocess
 import sys
 import time
 
@@ -21,12 +30,9 @@ sys.path.insert(0, ROOT)
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-from jax import lax  # noqa: E402
 
 from benchmarks.measure_baseline import bench_dataset  # noqa: E402
 from pano360_tpu.features import sift as S  # noqa: E402
-from pano360_tpu.ops.color import bgr2gray  # noqa: E402
 
 
 def force(out):
@@ -37,7 +43,7 @@ def force(out):
     return out
 
 
-def t(label, fn, n=3):
+def t(label, fn, n=5):
     force(fn())
     times = []
     for _ in range(n):
@@ -46,68 +52,15 @@ def t(label, fn, n=3):
         times.append(time.time() - t0)
     print(f"{label:24s} {sorted(times)[n // 2]:7.3f}s  "
           f"(all {[round(x, 3) for x in times]})", flush=True)
+    return sorted(times)[n // 2]
 
 
-def truncated(gray, cfg: S.SiftConfig, upto: str):
-    """Re-run sift_extract's octave loop up to a named stage; returns a
-    scalar checksum so XLA cannot DCE the work."""
-    n, h0, w0 = gray.shape
-    n_oct = S.n_octaves_for((h0, w0), cfg.upscale)
-    base_shape = (2 * h0, 2 * w0) if cfg.upscale else (h0, w0)
-    caps = S._octave_caps(cfg, n_oct, base_shape)
-    s = cfg.n_layers
-
-    base = S._base_image(gray.astype(jnp.float32), cfg)
-    acc = jnp.float32(0)
-    octv = base
-    for o in range(n_oct):
-        gauss = S._gaussian_stack(octv, cfg)
-        dog = gauss[:, 1:] - gauss[:, :-1]
-        if upto == "gauss":
-            acc += jnp.sum(dog[:, 0, ::8, ::8])
-        else:
-            cap = min(caps[o], s * dog.shape[2] * dog.shape[3])
-            l0, y0, x0, cand_ok = S._octave_candidates(dog, cfg, cap)
-            if upto == "cand":
-                acc += jnp.sum(x0) + jnp.sum(cand_ok)
-            else:
-                field = S._newton_step_field(dog)
-                refine = jax.vmap(jax.vmap(
-                    lambda dg, fl, a, b, c: S._refine_one(dg, fl, a, b, c,
-                                                          cfg),
-                    in_axes=(None, None, 0, 0, 0)), in_axes=(0, 0, 0, 0, 0))
-                l, y, x, offs, contrast, ok = refine(dog, field, l0, y0, x0)
-                ok = ok & cand_ok
-                sel_cap = cap if cap < 1024 else max(cap >> cfg.sel_shift,
-                                                     512)
-                if sel_cap < cap:
-                    score = jnp.where(ok, jnp.abs(contrast), -jnp.inf)
-                    _, sel = lax.top_k(score, sel_cap)
-                    take = jax.vmap(lambda a, ii: a[ii])
-                    l, y, x = take(l, sel), take(y, sel), take(x, sel)
-                    ok = take(ok, sel)
-                if upto == "refine":
-                    acc += jnp.sum(x) + jnp.sum(ok)
-                else:   # patch
-                    oh, ow = gauss.shape[2], gauss.shape[3]
-                    ps = min(2 * S._PATCH_HALF + 2, oh, ow)
-                    patch_fn = jax.vmap(jax.vmap(
-                        lambda g, a, b, c: S._extract_patch(g, a, b, c, ps),
-                        in_axes=(None, 0, 0, 0)), in_axes=(0, 0, 0, 0))
-                    patches, pcy, pcx = patch_fn(gauss, l, y, x)
-                    gxp, gyp = S._patch_grads(patches)
-                    acc += jnp.sum(gxp[..., ::16, ::16])
-        if o + 1 < n_oct:
-            octv = gauss[:, s][:, ::2, ::2]
-    return acc
-
-
-def main():
+def run_stage(stage: str) -> None:
+    """Child process: time one stage, print ``STAGE <name> <median>``."""
     imgs, _, _ = bench_dataset()
-    # NOTE: feeding the device-side bgr2gray result into the truncated
-    # programs reproducibly crashed the relay's TPU worker (kernel
-    # fault); a host-computed gray stack device_put from numpy is stable
-    # and the compute cost is identical (data-independent programs).
+    # host-computed gray stack device_put from numpy (the production
+    # pipeline's device-side bgr2gray feeds the same values; the
+    # programs are data-independent so the cost is identical)
     gray_np = (np.stack(imgs).astype(np.float32) / 255.0)
     gray_np = (gray_np[..., 0] * 0.114 + gray_np[..., 1] * 0.587
                + gray_np[..., 2] * 0.299).astype(np.float32)
@@ -123,13 +76,41 @@ def main():
     print(f"gray stack: {gray_np.shape} in {len(chunks)}x{bs} batches",
           flush=True)
     cfg = S.SiftConfig()
+    med = t(stage, lambda: [S.sift_extract(c, cfg, upto=stage)
+                            for c in chunks])
+    print(f"STAGE {stage} {med:.4f}", flush=True)
 
-    for stage in ["gauss", "cand", "refine", "patch"]:
-        fn = jax.jit(functools.partial(truncated, cfg=cfg, upto=stage))
-        t(stage, lambda fn=fn: [fn(c) for c in chunks])
 
-    t("full sift_extract", lambda: [S.sift_extract(c, cfg) for c in chunks])
+def main():
+    stages = ["gauss", "cand", "refine", "patch", "full"]
+    meds = {}
+    for stage in stages:
+        for attempt in (1, 2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), stage],
+                capture_output=True, text=True, timeout=1800)
+            out = proc.stdout
+            line = [ln for ln in out.splitlines()
+                    if ln.startswith("STAGE ")]
+            if line:
+                meds[stage] = float(line[0].split()[2])
+                print(out.rstrip(), flush=True)
+                break
+            print(f"[{stage}] attempt {attempt} failed "
+                  f"(rc={proc.returncode}):\n"
+                  f"{(proc.stderr or '').splitlines()[-1:]}", flush=True)
+        else:
+            meds[stage] = float("nan")
+    print("attribution (median deltas):", flush=True)
+    prev = 0.0
+    for stage in stages:
+        print(f"  {stage:10s} {meds[stage] - prev:7.3f}s "
+              f"(cum {meds[stage]:.3f}s)", flush=True)
+        prev = meds[stage]
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        run_stage(sys.argv[1])
+    else:
+        main()

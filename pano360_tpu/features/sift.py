@@ -586,13 +586,20 @@ def _octave_caps(cfg: SiftConfig, n_oct: int,
     return caps
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
-                 ) -> SiftFeatures:
+@functools.partial(jax.jit, static_argnames=("cfg", "upto"))
+def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
+                 upto: str = "full") -> SiftFeatures:
     """Extract SIFT keypoints + descriptors from a batch of gray images.
 
     ``gray``: (N, H, W) float32 in [0, 1]. Returns fixed-capacity
     ``SiftFeatures`` sorted by response (descending) per image.
+
+    ``upto`` (static, profiling only): stop after a named stage —
+    ``gauss`` | ``cand`` | ``refine`` | ``patch`` — and return a scalar
+    checksum instead of features. The profiler times PREFIXES of the
+    production program itself (benchmarks/profile_sift.py), rather than
+    hand-maintained truncated copies whose divergence crashed the relay
+    TPU worker in round 3.
     """
     n, h0, w0 = gray.shape
     gray = gray.astype(jnp.float32)
@@ -605,12 +612,23 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
     scale0 = 0.5 if cfg.upscale else 1.0  # octave->original coord factor
 
     outs = []
+    acc = jnp.float32(0)   # profiling checksum (upto != "full" only)
     octv = base
     for o in range(n_oct):
         gauss = _gaussian_stack(octv, cfg)             # (N, S+3, H, W)
         dog = gauss[:, 1:] - gauss[:, :-1]             # (N, S+2, H, W)
+        if o + 1 < n_oct:
+            nxt = gauss[:, s][:, ::2, ::2]  # cv2: downsample layer S
+        if upto == "gauss":
+            acc += jnp.sum(dog[:, 0, ::8, ::8])
+            octv = nxt
+            continue
         cap = min(caps[o], s * dog.shape[2] * dog.shape[3])
         l0, y0, x0, cand_ok = _octave_candidates(dog, cfg, cap)
+        if upto == "cand":
+            acc += jnp.sum(x0) + jnp.sum(cand_ok)
+            octv = nxt
+            continue
 
         field = _newton_step_field(dog)            # (N, S, H, W) int32
         refine = jax.vmap(jax.vmap(
@@ -636,6 +654,10 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
             offs, contrast, ok = (take(offs, sel), take(contrast, sel),
                                   take(ok, sel))
             cap = sel_cap
+        if upto == "refine":
+            acc += jnp.sum(x) + jnp.sum(ok)
+            octv = nxt
+            continue
 
         lf = l.astype(jnp.float32) + offs[..., 2]
         sig_oct = cfg.sigma * jnp.power(2.0, lf / s)
@@ -659,6 +681,10 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
             pw_ = [(0, 0), (0, 0), (0, pad), (0, pad)]
             gxp = jnp.pad(gxp, pw_)
             gyp = jnp.pad(gyp, pw_)
+        if upto == "patch":
+            acc += jnp.sum(gxp[..., ::16, ::16])
+            octv = nxt
+            continue
 
         factor = scale0 * (2.0 ** o)
         outs.append(dict(
@@ -671,7 +697,10 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig()
         ))
 
         if o + 1 < n_oct:
-            octv = gauss[:, s][:, ::2, ::2]  # cv2: downsample layer S
+            octv = nxt
+
+    if upto != "full":
+        return acc
 
     cat = {k: jnp.concatenate([d[k] for d in outs], axis=1) for k in outs[0]}
     total = cat["y"].shape[1]
