@@ -180,6 +180,33 @@ def _msop_level_batch(gray: jnp.ndarray, cap: int):
 _oriented_descriptors_batch = jax.jit(jax.vmap(_oriented_descriptors))
 
 
+@functools.lru_cache(maxsize=None)
+def _msop_level_mesh_fn(mesh, cap: int):
+    """``_msop_level_batch`` with the image axis sharded over the mesh
+    (per-image programs are independent, so outputs shard too)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(gray):
+        return jax.vmap(lambda g: _msop_level(g, cap))(gray)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=P("data"),
+        out_specs=(P("data"),) * 6, check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _oriented_descriptors_mesh_fn(mesh):
+    """Image-sharded ``_oriented_descriptors_batch``."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(shard_map(
+        jax.vmap(_oriented_descriptors), mesh=mesh,
+        in_specs=(P("data"),) * 4, out_specs=P("data"),
+        check_vma=False))
+
+
 @jax.jit
 def _msop_gray(stack_u8: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, 3) uint8 BGR -> (N, H, W) float gray in 0..255."""
@@ -187,7 +214,7 @@ def _msop_gray(stack_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def msop_extract_batch(imgs_bgr: Sequence[np.ndarray],
-                       max_feat: Sequence[int] = MAX_FEAT):
+                       max_feat: Sequence[int] = MAX_FEAT, mesh=None):
     """Extract MSOP keypoints + descriptors for a same-shape image batch.
 
     Per-image host loops pay a device sync per image per level (the
@@ -200,16 +227,33 @@ def msop_extract_batch(imgs_bgr: Sequence[np.ndarray],
     levels while the host runs SSC. Only SSC (sequential greedy
     suppression, C++-accelerated) touches the host.
 
+    ``mesh``: optional ``jax.sharding.Mesh`` ("data" axis) — the
+    candidate and descriptor dispatches shard over the image axis
+    (padded by repeating the last image; per-image programs are
+    independent so features are identical to the single-device path).
+
     Returns per-image ``(kpts (N_i, 2) float32 (x, y), desc (N_i, 64))``
     lists.
     """
     n = len(imgs_bgr)
-    cur = _msop_gray(jnp.asarray(np.stack(imgs_bgr)))
+    n_run = n
+    stack = np.stack(imgs_bgr)
+    if mesh is not None:
+        nd = int(mesh.devices.size)
+        n_run = -(-n // nd) * nd
+        if n_run > n:
+            stack = np.concatenate(
+                [stack, stack[-1:].repeat(n_run - n, axis=0)])
+    cur = _msop_gray(jnp.asarray(stack))
     # enqueue every level's candidate program before any host sync
     levels = []
     for maxf in max_feat:
-        vals, rows, cols, theta, blurred, nxt = _msop_level_batch(
-            cur, maxf * 20)
+        if mesh is not None:
+            vals, rows, cols, theta, blurred, nxt = _msop_level_mesh_fn(
+                mesh, maxf * 20)(cur)
+        else:
+            vals, rows, cols, theta, blurred, nxt = _msop_level_batch(
+                cur, maxf * 20)
         levels.append((vals, rows, cols, theta, blurred, cur.shape[1:]))
         cur = nxt
 
@@ -239,15 +283,17 @@ def msop_extract_batch(imgs_bgr: Sequence[np.ndarray],
         if top == 0:
             continue
         cap = max(64, 1 << (top - 1).bit_length())
-        rows_b = np.zeros((n, cap), rows_a.dtype)
-        cols_b = np.zeros((n, cap), cols_a.dtype)
-        theta_b = np.zeros((n, cap), np.float32)
+        rows_b = np.zeros((n_run, cap), rows_a.dtype)
+        cols_b = np.zeros((n_run, cap), cols_a.dtype)
+        theta_b = np.zeros((n_run, cap), np.float32)
         for i in range(n):
             k = len(sel_rows[i])
             rows_b[i, :k] = sel_rows[i]
             cols_b[i, :k] = sel_cols[i]
             theta_b[i, :k] = sel_theta[i]
-        desc = np.asarray(_oriented_descriptors_batch(
+        desc_fn = (_oriented_descriptors_batch if mesh is None
+                   else _oriented_descriptors_mesh_fn(mesh))
+        desc = np.asarray(desc_fn(
             blurred, jnp.asarray(rows_b), jnp.asarray(cols_b),
             jnp.asarray(theta_b)))
         scale = 2.0 ** lvl

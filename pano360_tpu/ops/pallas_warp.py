@@ -73,13 +73,16 @@ def _tile_coords(bx, by, rx, ry, mx, my, ty0, tx0, period=None):
     return xs, ys
 
 
-def _project(xs, ys, p, w, h):
-    """Spherical proj2hom + K R matvec + divide + masks (stitcher math).
+def _project(xs, ys, p, w, h, cylindrical: bool = False):
+    """Spherical/cylindrical proj2hom + K R matvec + divide + masks
+    (stitcher math; the two projections differ only in the middle ray
+    coordinate — tan(y) spherical, y cylindrical, geometry.py
+    SphProj/CylProj).
 
     ``p``: the 9 projection-matrix entries as scalars, row-major.
     """
     sx = jnp.sin(xs)
-    tx = jnp.tan(ys)
+    tx = ys if cylindrical else jnp.tan(ys)
     cx = jnp.cos(xs)
     u = p[0] * sx + p[1] * tx + p[2] * cx
     v = p[3] * sx + p[4] * tx + p[5] * cx
@@ -103,7 +106,8 @@ def _level_dims(img_shape: Tuple[int, int], lvl: int):
 def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
                  resolution: np.ndarray, range_min: np.ndarray,
                  img_shape: Tuple[int, int], ph: int, pw: int,
-                 period: "int | None" = None):
+                 period: "int | None" = None,
+                 cylindrical: bool = False):
     """Per-tile source windows with mip-level selection (host, numpy).
 
     Returns ``(origins (N, nty, ntx, 3) int32 [y, x, level], eligible,
@@ -146,7 +150,8 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
             gxa = gxa - period * (gxa >= period)
         mx = gxa * resolution[0] + range_min[0]
         my = (gy + bottoms[k, 1]) * resolution[1] + range_min[1]
-        sxv, txv, cxv = np.sin(mx), np.tan(my), np.cos(mx)
+        sxv, cxv = np.sin(mx), np.cos(mx)
+        txv = my if cylindrical else np.tan(my)
         p = projs[k]
         u = p[0, 0] * sxv + p[0, 1] * txv + p[0, 2] * cxv
         v = p[1, 0] * sxv + p[1, 1] * txv + p[1, 2] * cxv
@@ -206,7 +211,8 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
 
 
 def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int,
-                      n_levels: int, period: "int | None" = None):
+                      n_levels: int, period: "int | None" = None,
+                      cylindrical: bool = False):
     """``h``/``w``: TRUE image dims for validity masking (the mip buffers
     themselves are edge-padded to (8, 128) tiling and to the window).
     ``period``: static periodic-canvas width (None = aperiodic)."""
@@ -243,7 +249,7 @@ def _make_warp_kernel(win_y: int, win_x: int, h: int, w: int,
                               (ti * TILE_Y).astype(jnp.float32),
                               (tj * TILE_X).astype(jnp.float32),
                               period)
-        x_pr, y_pr, invalid = _project(xs, ys, p, w, h)
+        x_pr, y_pr, invalid = _project(xs, ys, p, w, h, cylindrical)
 
         # full-res sample position -> mip-level coordinates (pixel-center
         # aligned), then window-relative taps (clamped; see docstring).
@@ -334,12 +340,14 @@ def build_mips(imgs_planar: jnp.ndarray, n_levels: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("ph", "pw", "win_y", "win_x",
-                                    "img_shape", "interpret", "period"))
+                                    "img_shape", "interpret", "period",
+                                    "cylindrical"))
 def pallas_backward_warp(mips, projs, bottoms, resolution, range_min,
                          origins, ph: int, pw: int, win_y: int, win_x: int,
                          img_shape: Tuple[int, int] = None,
                          interpret: bool = False,
-                         period: "int | None" = None):
+                         period: "int | None" = None,
+                         cylindrical: bool = False):
     """All-region backward warp via the fused Pallas kernel.
 
     mips: list of (N, 4, Hl, Wl) float32 RGBA mip levels (planar layout so
@@ -363,7 +371,7 @@ def pallas_backward_warp(mips, projs, bottoms, resolution, range_min,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(mips),  # HBM mips
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(mips),  # HBM mips
         out_specs=[
             pl.BlockSpec((1, 4, TILE_Y, TILE_X),
                          lambda r, i, j, *_: (r, 0, i, j)),
@@ -378,7 +386,7 @@ def pallas_backward_warp(mips, projs, bottoms, resolution, range_min,
 
     out, mask = pl.pallas_call(
         _make_warp_kernel(win_y, win_x, int(true_h), int(true_w),
-                          len(mips), period),
+                          len(mips), period, cylindrical),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, php, pwp), jnp.float32),

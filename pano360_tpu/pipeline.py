@@ -55,13 +55,15 @@ def _shape_buckets(imgs: List[np.ndarray]):
 
 
 def detect_all(imgs: List[np.ndarray], detector: str = "sift",
-               max_kpts: int = 4096):
+               max_kpts: int = 4096, mesh=None):
     """Extract keypoints/descriptors for all images (batched on device).
 
     Returns per-image lists of center-relative float32 keypoints and
     descriptors (compact, like the reference's detector closures).
     Mixed image shapes are supported by batching per shape bucket
     (features.py:259-265 processes each image independently).
+    ``mesh``: optional ``jax.sharding.Mesh`` — each bucket's device
+    dispatches shard over the image axis.
     """
     if not imgs:
         raise ValueError("no images to process (empty directory?)")
@@ -69,7 +71,8 @@ def detect_all(imgs: List[np.ndarray], detector: str = "sift",
         kpts = [None] * len(imgs)
         descs = [None] * len(imgs)
         for shape, idxs in _shape_buckets(imgs).items():
-            batch = msop_extract_batch([imgs[i] for i in idxs])
+            batch = msop_extract_batch([imgs[i] for i in idxs],
+                                       mesh=mesh)
             cent = np.array([shape[1] / 2, shape[0] / 2], np.float32)
             for i, (k, d) in zip(idxs, batch):
                 kpts[i] = (k - cent).astype(np.float32)
@@ -286,7 +289,7 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
     start = time.time()
 
     if detector == "msop":
-        kpts, descs = detect_all(imgs, detector, max_kpts)
+        kpts, descs = detect_all(imgs, detector, max_kpts, mesh=mesh)
         LOG.info("Extracted keypoints, time: %s", time.time() - start)
         cap = max((len(k) for k in kpts), default=1)
         cap = max(1 << (cap - 1).bit_length(), 64)
@@ -300,15 +303,26 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
     else:
         if feats is None:
             cfg = S.SiftConfig(max_kpts=max_kpts)
-            uniform = len({im.shape for im in imgs}) == 1
-            if mesh is not None and uniform:
-                # image-sharded extraction: pad N to a mesh multiple by
-                # repeating the last image, slice the replica rows off
+            if mesh is not None:
+                # image-sharded extraction per shape bucket: pad each
+                # bucket to a mesh multiple by repeating its last image,
+                # slice the replica rows off, and reassemble in original
+                # order (every bucket shares the max_kpts capacity, so
+                # features stack across buckets)
                 from pano360_tpu.parallel import sharded_color_extract
-                npad = -(-n // nd) * nd
-                stack = np.stack(list(imgs) + [imgs[-1]] * (npad - n))
-                feats = sharded_color_extract(mesh, jnp.asarray(stack), cfg)
-                feats = jax.tree_util.tree_map(lambda a: a[:n], feats)
+                per_img = [None] * n
+                for shape, idxs in _shape_buckets(imgs).items():
+                    npad = -(-len(idxs) // nd) * nd
+                    stack = np.stack([imgs[i] for i in idxs]
+                                     + [imgs[idxs[-1]]]
+                                     * (npad - len(idxs)))
+                    fb = sharded_color_extract(mesh, jnp.asarray(stack),
+                                               cfg)
+                    for j, i in enumerate(idxs):
+                        per_img[i] = jax.tree_util.tree_map(
+                            lambda a, j=j: a[j], fb)
+                feats = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *per_img)
             elif dev_images is not None and hasattr(dev_images, "shape"):
                 feats = _gray_extract(dev_images, cfg)
             else:

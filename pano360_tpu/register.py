@@ -140,12 +140,29 @@ def _group_reduce(parts, axis_name):
     focal ==> ~48 dB mosaic disagreement at dryrun scale). With the
     ordered reduction the normal equations — and therefore the whole
     traverse trajectory — are bit-identical between the two paths
-    (asserted by test_parallel and the multichip dryrun)."""
+    (asserted by test_parallel and the multichip dryrun).
+
+    The sum is an EXPLICIT left fold (not ``jnp.sum``, whose reduction
+    tree is the compiler's choice and may differ between programs with
+    different group counts): device counts that do not divide
+    EDGE_GROUPS pad with trailing all-zero groups (see ``traverse``),
+    and a left fold makes appending zeros a bit-exact no-op, so every
+    device count produces bit-identical normal equations."""
     if axis_name:
         gather = functools.partial(jax.lax.all_gather,
                                    axis_name=axis_name, tiled=True)
         parts = jax.tree_util.tree_map(gather, parts)
-    return jax.tree_util.tree_map(lambda p: jnp.sum(p, axis=0), parts)
+    leaves, treedef = jax.tree_util.tree_flatten(parts)
+    g = leaves[0].shape[0]
+    if g == 1:
+        return jax.tree_util.tree_unflatten(treedef,
+                                            [lf[0] for lf in leaves])
+
+    def body(i, accs):
+        return tuple(a + lf[i] for a, lf in zip(accs, leaves))
+
+    accs = jax.lax.fori_loop(1, g, body, tuple(lf[0] for lf in leaves))
+    return jax.tree_util.tree_unflatten(treedef, list(accs))
 
 
 def _grouped(body, cam1_idx, cam2_idx, pts, mask, gsize):
@@ -754,12 +771,15 @@ def traverse(imgs: List[np.ndarray], matches: Dict, badjust: str = "incr",
     # is both the compile-shape bucket and the deterministic grouping
     ep = _next_pow2(max(len(edges), 1), EDGE_GROUPS)
     gsize = ep // EDGE_GROUPS
-    if mesh is not None:           # every device needs an equal edge shard
+    if mesh is not None:
+        # every device needs an equal edge shard: pad the GROUP count up
+        # to a device multiple with trailing all-masked groups. Real
+        # edges keep the exact single-device 16-group layout and the
+        # left-fold reduction makes the zero groups bit-exact no-ops, so
+        # ANY device count reproduces the single-device trajectory
+        # bit-for-bit.
         nd = int(mesh.devices.size)
-        if EDGE_GROUPS % nd != 0:
-            raise ValueError(
-                f"traverse edge sharding needs a device count dividing "
-                f"EDGE_GROUPS={EDGE_GROUPS}, got {nd}")
+        ep = gsize * nd * (-(-EDGE_GROUPS // nd))
     mp = _next_pow2(max((m.shape[0] for _, _, m, _ in edges), default=1), 64)
 
     dtype = np.float32

@@ -29,6 +29,7 @@ from typing import List, NamedTuple, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from pano360_tpu import geometry as geo
 from pano360_tpu.ops.filters import gaussian_blur
@@ -207,37 +208,48 @@ def find_gains(overlaps: np.ndarray, sizes: np.ndarray,
     return np.linalg.solve(aa, np.sum(nsize2, axis=1))
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
-def _pair_overlap_stats(imgs, homs_ij, pair_i, pair_j, height: int,
-                        width: int, dims_i=None):
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def _pair_overlap_stats(imgs, homs_win, pair_i, pair_j, origins,
+                        wh: int, ww: int, dims_i=None):
     """Overlap mean intensities for all pairs in one batched warp.
 
-    imgs: (N, H, W, 4); homs_ij: (P, 3, 3) mapping j's pixels into i's
-    frame (non-centered); pair_i/pair_j: (P,) indices; ``dims_i``:
-    optional per-pair (h_i, w_i) true dims restricting the overlap to
-    image i's true region (padded mixed-size stacks).
-    Returns (mean_i, mean_j, size) each (P,).
-    """
-    yy = jnp.arange(height)[:, None]
-    xx = jnp.arange(width)[None, :]
+    Each pair works inside its own (wh, ww) window of image i's frame —
+    the bbox of j's warped corners intersected with the frame, computed
+    on the host (``estimate_gains``) — instead of warping the FULL
+    frame per pair (stitcher.py:48-56 pays the full warp; at N views
+    only ~adjacent pairs overlap, so the full-frame version did
+    O(N^2 * H * W) device work for O(N * window) useful pixels).
 
-    def one(hom, ii, jj, di):
-        overlap = warp_perspective(imgs[jj], hom, (height, width),
+    imgs: (N, H, W, 4); homs_win: (P, 3, 3) mapping j's pixels into the
+    WINDOW's coords (i-frame hom pre-composed with the window origin
+    shift); pair_i/pair_j: (P,) indices; origins: (P, 2) int (oy, ox)
+    window origins in i's frame, host-clamped so the window lies inside
+    the frame; ``dims_i``: optional per-pair (h_i, w_i) true dims
+    restricting the overlap to image i's true region (padded mixed-size
+    stacks). Returns (mean_i, mean_j, size) each (P,).
+    """
+    yy = jnp.arange(wh)[:, None]
+    xx = jnp.arange(ww)[None, :]
+
+    def one(hom, ii, jj, org, di):
+        overlap = warp_perspective(imgs[jj], hom, (wh, ww),
                                    border="constant", cval=0.0)
         mask = overlap[..., 3] != 0
         if di is not None:
-            mask &= (yy < di[0]) & (xx < di[1])
+            mask &= ((yy + org[0] < di[0]) & (xx + org[1] < di[1]))
         cnt = jnp.sum(mask)
-        img_i = imgs[ii]
-        sum_i = jnp.sum(jnp.where(mask[..., None], img_i[..., :3], 0.0))
+        win_i = lax.dynamic_slice(
+            imgs[ii], (org[0], org[1], jnp.zeros((), org.dtype)),
+            (wh, ww, imgs.shape[-1]))
+        sum_i = jnp.sum(jnp.where(mask[..., None], win_i[..., :3], 0.0))
         sum_j = jnp.sum(jnp.where(mask[..., None], overlap[..., :3], 0.0))
         denom = jnp.maximum(cnt * 3, 1)
         return sum_i / denom, sum_j / denom, cnt
 
     if dims_i is None:
-        return jax.vmap(lambda h, a, b: one(h, a, b, None))(
-            homs_ij, pair_i, pair_j)
-    return jax.vmap(one)(homs_ij, pair_i, pair_j, dims_i)
+        return jax.vmap(lambda h, a, b, o: one(h, a, b, o, None))(
+            homs_win, pair_i, pair_j, origins)
+    return jax.vmap(one)(homs_win, pair_i, pair_j, origins, dims_i)
 
 
 def estimate_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
@@ -256,7 +268,7 @@ def estimate_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
     if shapes is None:
         shapes = np.array([[height, width]] * n)
 
-    pair_i, pair_j, homs = [], [], []
+    pair_i, pair_j, homs, boxes = [], [], [], []
     for i in range(n):
         hi, wi = shapes[i]
         tr = np.array([[1, 0, wi / 2], [0, 1, hi / 2], [0, 0, 1]])
@@ -270,15 +282,41 @@ def estimate_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
             pts = corners @ hom.T
             if np.any(pts[:, 2] < 0):   # behind the screen, skip
                 continue
+            # overlap bbox: warped-quad bounds (+2 px bilinear edge
+            # fade) intersected with i's true frame; empty => the pair
+            # contributes nothing, skip it entirely (at N views only
+            # ~adjacent pairs overlap, so this prunes most of the
+            # O(N^2) loop the reference pays in full)
+            q = pts[:, :2] / pts[:, 2:3]
+            x0 = max(int(np.floor(q[:, 0].min())) - 2, 0)
+            y0 = max(int(np.floor(q[:, 1].min())) - 2, 0)
+            x1 = min(int(np.ceil(q[:, 0].max())) + 2, int(wi))
+            y1 = min(int(np.ceil(q[:, 1].max())) + 2, int(hi))
+            if x0 >= x1 or y0 >= y1:
+                continue
             pair_i.append(i)
             pair_j.append(j)
             homs.append(hom)
+            boxes.append((y0, x0, y1, x1))
     overlaps = np.zeros((n, n))
     sizes = np.zeros((n, n))
     if homs:
+        boxes = np.array(boxes)
+        # one static window shape for all pairs (64-px buckets bound
+        # recompiles across scenes), clamped into each frame
+        wh = min(-(-int((boxes[:, 2] - boxes[:, 0]).max()) // 64) * 64,
+                 height)
+        ww = min(-(-int((boxes[:, 3] - boxes[:, 1]).max()) // 64) * 64,
+                 width)
+        oy = np.minimum(boxes[:, 0], height - wh)
+        ox = np.minimum(boxes[:, 1], width - ww)
+        shift = [np.array([[1, 0, -x], [0, 1, -y], [0, 0, 1]])
+                 for y, x in zip(oy, ox)]
+        homs_win = np.stack([s @ h for s, h in zip(shift, homs)])
         mi, mj, cnt = _pair_overlap_stats(
-            imgs_rgba, jnp.asarray(np.stack(homs), jnp.float32),
-            jnp.asarray(pair_i), jnp.asarray(pair_j), height, width,
+            imgs_rgba, jnp.asarray(homs_win, jnp.float32),
+            jnp.asarray(pair_i), jnp.asarray(pair_j),
+            jnp.asarray(np.stack([oy, ox], axis=1), jnp.int32), wh, ww,
             jnp.asarray(shapes[np.asarray(pair_i)], jnp.float32))
         mi, mj, cnt = np.asarray(mi), np.asarray(mj), np.asarray(cnt)
         for k in range(len(homs)):
@@ -600,6 +638,166 @@ def _warp_and_blend(imgs, gains, projs, bottoms, resolution, range_min,
                               period=period), invalid)
 
 
+def _packed_take_combine(parts):
+    """Ordered combine of per-device packed (key, payload...) canvases:
+    strictly-greater key wins, scanning devices in ascending order —
+    exactly the sequential paste loop's first-wins (seam) / last-wins
+    (ascending writer ids) tie rules, since each device holds a
+    contiguous ascending patch range."""
+    def body(d, cur):
+        take = (parts[d, ..., 0] > cur[..., 0])[..., None]
+        return jnp.where(take, parts[d], cur)
+
+    return jax.lax.fori_loop(1, parts.shape[0], body, parts[0])
+
+
+def _blend_sharded(blender: str, patches, masks, bottoms, shape,
+                   period: Optional[int], axis_name: str):
+    """Patch-sharded blenders for the mesh path.
+
+    The replicated mesh blend (round 3) all-gathered every patch and
+    replayed the full O(N) sequential paste on every device, so blend
+    cost did not shard at all. Here each device pastes only its LOCAL
+    patch shard (``patches``/``masks``/``bottoms`` are shard_map shards)
+    into its own canvas accumulator, and the accumulators combine across
+    the mesh with the blender's own associative reduction:
+
+    - ``linear`` / ``multiband`` band sums: ordered per-device partial
+      sums (all_gather + ascending sum — deterministic, same grouped-
+      reduction idea as register._group_reduce);
+    - ``multiband`` seam assignment: strictly-greater weight-max over
+      ascending device order (= the sequential loop's first-wins rule);
+    - ``none``: last-writer-wins via ascending writer ids;
+    - validity union: OR.
+
+    Multiband's per-level Gaussian blurs — the dominant blend cost —
+    run on the local patch shard, so they shard perfectly. Padded
+    regions (mesh-multiple padding) carry all-invalid masks and zero
+    alpha, so they contribute nothing to any reduction. The combined
+    canvas math past the reduction runs replicated (a few mosaic-sized
+    VPU passes). Returns the uint8 mosaic (replicated).
+    """
+    n_local, ph, pw = patches.shape[:3]
+    ext = _ext(shape, period, pw)
+    k0 = jax.lax.axis_index(axis_name) * n_local  # global id of slot 0
+    gather = functools.partial(jax.lax.all_gather, axis_name=axis_name,
+                               tiled=False)
+
+    def reduce_sum(local):
+        return jnp.sum(gather(local), axis=0)
+
+    if blender == "none":
+        # channel 3 = writer id (global k+1); combine keeps the max id
+        def fn(k, cur):
+            kf = jnp.broadcast_to((k0 + k + 1).astype(jnp.float32),
+                                  (ph, pw, 1))
+            tile = jnp.concatenate([patches[k][..., :3], kf], axis=-1)
+            return jnp.where(masks[k][..., None], cur, tile)
+
+        acc = _paste_loop(jnp.zeros(ext + (4,), jnp.float32), bottoms,
+                          (ph, pw), fn, n_local)
+        # move the writer id into the leading "key" slot for the combine
+        acc = _packed_take_combine(gather(acc[..., (3, 0, 1, 2)]))
+        if period is not None:
+            marg = acc[:, period:period + pw]
+            main = acc[:, :shape[1]]
+            take = (marg[..., 0] > main[:, :pw, 0])[..., None]
+            acc = main.at[:, :pw].set(jnp.where(take, marg,
+                                                main[:, :pw]))
+        mosaic = acc[:, :shape[1], 1:]
+        return jnp.clip(mosaic * 255, 0, 255).astype(jnp.uint8)
+
+    if blender == "linear":
+        def fn(k, cur):
+            p = patches[k]
+            tile = jnp.where(masks[k][..., None], 0.0, p[..., :3])
+            return cur + jnp.concatenate([tile * p[..., 3:], p[..., 3:]],
+                                         axis=-1)
+
+        acc = reduce_sum(_paste_loop(jnp.zeros(ext + (4,), jnp.float32),
+                                     bottoms, (ph, pw), fn, n_local))
+        acc = _fold_add(acc, shape, period, pw)
+        wsum = jnp.where(acc[..., 3] == 0, 1.0, acc[..., 3])
+        mosaic = acc[..., :3] / wsum[..., None]
+        return jnp.clip(mosaic * 255, 0, 255).astype(jnp.uint8)
+
+    assert blender == "multiband", blender
+    n_levels = 5
+
+    # 1) seam assignment: local weight-max paste, cross-device combine
+    def seam_fn(k, cur):
+        w_new = patches[k][..., 3]
+        take = w_new > cur[..., 0]
+        kf = (k0 + k).astype(jnp.float32)
+        return jnp.stack([jnp.where(take, w_new, cur[..., 0]),
+                          jnp.where(take, kf, cur[..., 1])], axis=-1)
+
+    packed = _paste_loop(
+        jnp.concatenate([jnp.zeros(ext + (1,), jnp.float32),
+                         jnp.full(ext + (1,), -1.0, jnp.float32)],
+                        axis=-1), bottoms, (ph, pw), seam_fn, n_local)
+    packed = _packed_take_combine(gather(packed))
+    if period is not None:
+        marg = packed[:, period:period + pw]
+        main = packed[:, :shape[1]]
+        take = (marg[..., 0] > main[:, :pw, 0])[..., None]
+        folded = main.at[:, :pw].set(jnp.where(take, marg, main[:, :pw]))
+        if period > shape[1]:
+            folded = jnp.concatenate(
+                [folded, packed[:, shape[1]:period]], axis=1)
+        packed = jnp.concatenate(
+            [folded[:, :period], folded[:, :ext[1] - period]], axis=1)
+    best_i = packed[..., 1].astype(jnp.int32)
+
+    def sharp_one(k, patch, bottom):
+        win = jax.lax.dynamic_slice(best_i, (bottom[1], bottom[0]),
+                                    (ph, pw))
+        return patch.at[..., 3].set((win == k0 + k).astype(jnp.float32))
+
+    patches = jax.vmap(sharp_one)(jnp.arange(n_local, dtype=jnp.int32),
+                                  patches, bottoms)
+
+    allmask = _paste_loop(
+        jnp.zeros(ext, bool), bottoms, (ph, pw),
+        lambda k, cur: cur | ~masks[k], n_local)
+    allmask = jnp.any(gather(allmask), axis=0)
+    if period is not None:
+        marg = allmask[:, period:period + pw]
+        allmask = allmask[:, :shape[1]].at[:, :pw].set(
+            allmask[:, :pw] | marg)
+
+    mosaic = jnp.zeros(shape + (3,), jnp.float32)
+    prevs = patches
+    for lvl in range(n_levels):
+        sigma = float(np.sqrt(2 * lvl + 1.0) * 4)
+        is_last = lvl == n_levels - 1
+        if not is_last:
+            blurred = gaussian_blur(patches, sigma)   # local shard only
+            tiles_rgb = prevs[..., :3] - blurred[..., :3]
+            tiles_a = blurred[..., 3]
+        else:
+            tiles_rgb = prevs[..., :3]
+            tiles_a = prevs[..., 3]
+
+        def acc_fn(k, cur, tiles_rgb=tiles_rgb, tiles_a=tiles_a):
+            return cur + jnp.concatenate(
+                [tiles_rgb[k] * tiles_a[k][..., None],
+                 tiles_a[k][..., None]], axis=-1)
+
+        acc = reduce_sum(_paste_loop(jnp.zeros(ext + (4,), jnp.float32),
+                                     bottoms, (ph, pw), acc_fn, n_local))
+        acc = _fold_add(acc, shape, period, pw)
+
+        layer = jnp.where(allmask[..., None], acc[..., :3], 0.0)
+        wsum = jnp.where(acc[..., 3] == 0, 1.0, acc[..., 3])
+        mosaic = mosaic + layer / wsum[..., None]
+        if not is_last:
+            prevs = blurred
+
+    mosaic = jnp.clip(mosaic, 0.0, 1.0)
+    return (mosaic * 255).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "blender",
                                              "period"))
 def _mask_and_blend(patches, invalid, bottoms, wins, shape, blender,
@@ -625,18 +823,22 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
                             shape: Tuple[int, int], blender: str,
                             projection, n_true: int,
                             period: Optional[int] = None):
-    """Region-sharded warp + replicated blend over a device mesh.
+    """Region-sharded warp AND blend over a device mesh.
 
     The backward warp — the FLOP/bandwidth-heavy stage — runs on each
-    device's region shard; patches are all-gathered over ICI and the
-    (sequential read-modify-write) blend runs replicated, so the mosaic
-    comes back identical on every device. Region arrays must be padded
-    to a mesh multiple; ``n_true`` slices the padding off before blend.
+    device's region shard, and the blend shards over the patch axis too
+    (``_blend_sharded``): each device pastes its local shard into its
+    own canvas and the canvases combine across ICI with the blender's
+    associative reduction, so neither the patches nor the per-level
+    multiband blurs replicate. Only the validity masks all-gather (for
+    crop). Region arrays must be padded to a mesh multiple; the padding
+    carries all-invalid windows so it contributes nothing; ``n_true``
+    slices it off the returned masks.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(imgs, gains, projs, bottoms_sh, bottoms_full, resolution,
+    def local(imgs, gains, projs, bottoms_sh, resolution,
               range_min, shapes_sh, wins_sh):
         imgs_rgba = add_weights(imgs, shapes_sh)
         if gains is not None:
@@ -644,18 +846,15 @@ def _warp_and_blend_mesh_fn(mesh, ph: int, pw: int,
         patches, invalid = backward_warp_all(
             imgs_rgba, projs, bottoms_sh, resolution, range_min, ph, pw,
             projection, shapes_sh, wins_sh, period)
-        gather = functools.partial(jax.lax.all_gather, axis_name="data",
-                                   tiled=True)
-        patches = gather(patches)[:n_true]
-        invalid = gather(invalid)[:n_true]
-        mosaic = BLENDERS[blender](patches, invalid,
-                                   bottoms_full[:n_true], shape,
-                                   period=period)
+        mosaic = _blend_sharded(blender, patches, invalid, bottoms_sh,
+                                shape, period, "data")
+        invalid = jax.lax.all_gather(invalid, axis_name="data",
+                                     tiled=True)[:n_true]
         return mosaic, invalid
 
     sm = shard_map(local, mesh=mesh,
                    in_specs=(P("data"), P("data"), P("data"), P("data"),
-                             P(), P(), P(), P("data"), P("data")),
+                             P(), P(), P("data"), P("data")),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(sm)
 
@@ -917,7 +1116,6 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         mosaic, invalid = fn(
             imgs_pad, gains_pad, jnp.asarray(projs_pad, jnp.float32),
             jnp.asarray(bottoms_pad, jnp.int32),
-            jnp.asarray(bottoms, jnp.int32),
             jnp.asarray(resolution, jnp.float32),
             jnp.asarray(im_range[0], jnp.float32),
             jnp.asarray(shapes_pad, jnp.float32),
@@ -932,12 +1130,14 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
         return mosaic
 
     patches = invalid = None
-    if (use_pallas is not False and uniform and proj is geo.SphProj
-            and jax.default_backend() == "tpu"):   # kernel is spherical
+    if (use_pallas is not False and uniform
+            and proj in (geo.SphProj, geo.CylProj)
+            and jax.default_backend() == "tpu"):
         from pano360_tpu.ops import pallas_warp as PW
+        cyl = proj is geo.CylProj
         origins, ok, win_y, win_x, n_levels = PW.plan_windows(
             projs, bottoms, resolution, im_range[0], (h, w), ph, pw,
-            period=wrap_period)
+            period=wrap_period, cylindrical=cyl)
         # Auto policy: the kernel runs whenever it is EXACT, i.e. all
         # level-0 windows fit (n_levels == 1) — measured 2.26x the XLA
         # gather there (62 vs 140 ms, 120 dB agreement; WARP.json).
@@ -959,7 +1159,7 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
                 jnp.asarray(resolution, jnp.float32),
                 jnp.asarray(im_range[0], jnp.float32),
                 jnp.asarray(origins), ph, pw, win_y, win_x,
-                img_shape=(h, w), period=wrap_period)
+                img_shape=(h, w), period=wrap_period, cylindrical=cyl)
         elif use_pallas is True:
             LOG.warning("pallas warp requested but a tile source window "
                         "cannot fit the VMEM caps at any mip level; using "

@@ -102,6 +102,35 @@ class TestPallasWarp:
         diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
         assert diff.max() < 1e-4, diff.max()
 
+    def test_matches_xla_path_cylindrical(self):
+        """CylProj eligibility: the kernel's middle ray coordinate flips
+        from tan(y) to y (geometry.py CylProj); exactness vs the XLA
+        gather on the same grid."""
+        from pano360_tpu import geometry as geo
+        rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup(
+            seed=7)
+        args = (jnp.asarray(projs, jnp.float32),
+                jnp.asarray(bottoms, jnp.int32),
+                jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(im_range[0], jnp.float32))
+        px, ix = render.backward_warp_all(rgba, *args, ph, pw,
+                                          projection=geo.CylProj)
+
+        origins, ok, wy, wx, nl = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw,
+            cylindrical=True)
+        assert ok, "cylindrical test scene should be eligible"
+        mips = PW.build_mips(jnp.moveaxis(rgba, -1, 1), nl, wy, wx)
+        pp, ip = PW.pallas_backward_warp(
+            mips, *args, jnp.asarray(origins), ph, pw, wy, wx,
+            img_shape=hw, interpret=True, cylindrical=True)
+
+        ixn, ipn = np.asarray(ix), np.asarray(ip)
+        np.testing.assert_array_equal(ixn, ipn)
+        val = ~ixn
+        diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
+        assert diff.max() < 1e-4, diff.max()
+
     def test_star_import_all_consistent(self):
         """Every name in __all__ must exist (regression: WIN_Y/WIN_X)."""
         for name in PW.__all__:

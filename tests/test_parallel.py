@@ -113,6 +113,71 @@ class TestParallel:
         psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
         assert psnr >= 50.0, f"mesh mosaic diverged: {psnr:.1f} dB"
 
+    def test_mixed_shape_mesh_matching_parity(self):
+        """Mixed image shapes shard per shape bucket; features and the
+        match graph must be bit-identical to the single-device run."""
+        from pano360_tpu.pipeline import matching
+
+        imgs, _, _ = synth.make_views(n_views=4, shape=(64, 96),
+                                      overlap=0.5, seed=2)
+        imgs = [np.clip(im * 255, 0, 255).astype(np.uint8) for im in imgs]
+        imgs[1] = imgs[1][:56, :80]   # second shape bucket
+        imgs[3] = imgs[3][:56, :80]
+        mesh = make_mesh(4)
+
+        kpts_m, matches_m = matching(imgs, max_kpts=256, seed=0,
+                                     mesh=mesh)
+        kpts_s, matches_s = matching(imgs, max_kpts=256, seed=0)
+        for a, b in zip(kpts_m, kpts_s):
+            npt.assert_array_equal(a, b)
+        mm, ms = matches_m.item(), matches_s.item()
+        assert set(mm) == set(ms)
+        for i in mm:
+            assert set(mm[i]) == set(ms[i])
+            for j in mm[i]:
+                npt.assert_array_equal(mm[i][j][0], ms[i][j][0])
+
+    def test_msop_mesh_matching_parity(self):
+        """MSOP extraction shards its candidate/descriptor dispatches
+        over the image axis; per-image programs are independent, so the
+        mesh run must reproduce the single-device features."""
+        from pano360_tpu.pipeline import matching
+
+        imgs, _, _ = synth.make_views(n_views=4, shape=(64, 96),
+                                      overlap=0.6, seed=3)
+        imgs = [np.clip(im * 255, 0, 255).astype(np.uint8) for im in imgs]
+        mesh = make_mesh(4)
+
+        kpts_m, matches_m = matching(imgs, detector="msop", seed=0,
+                                     mesh=mesh)
+        kpts_s, matches_s = matching(imgs, detector="msop", seed=0)
+        for a, b in zip(kpts_m, kpts_s):
+            npt.assert_allclose(a, b, atol=1e-4)
+        mm, ms = matches_m.item(), matches_s.item()
+        assert set(mm) == set(ms)
+
+    def test_traverse_nondividing_device_count(self):
+        """Device counts that do not divide EDGE_GROUPS=16 pad with
+        trailing all-masked groups; the left-fold reduction makes them
+        bit-exact no-ops, so a 3-device traverse must reproduce the
+        single-device trajectory."""
+        from pano360_tpu.pipeline import idx_to_keypoints, matching
+        from pano360_tpu.register import traverse
+
+        imgs, _, _ = synth.make_views(n_views=4, shape=(64, 96),
+                                      overlap=0.5, seed=0)
+        imgs = [np.clip(im * 255, 0, 255).astype(np.uint8) for im in imgs]
+        mesh = make_mesh(3)
+
+        kpts, matches = matching(imgs, max_kpts=256, seed=0)
+        r_m = traverse(imgs, idx_to_keypoints(matches, kpts),
+                       badjust="incr", mesh=mesh)
+        r_s = traverse(imgs, idx_to_keypoints(matches, kpts),
+                       badjust="incr")
+        for a, b in zip(r_m, r_s):
+            npt.assert_allclose(a.rot, b.rot, atol=5e-5)
+            npt.assert_allclose(a.intr[0, 0], b.intr[0, 0], rtol=1e-4)
+
     # NOTE: the 8-device version of the production pipeline (plus the
     # distributed_step building-block demo) is exercised by
     # __graft_entry__.dryrun_multichip, which the driver runs every round.
