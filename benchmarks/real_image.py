@@ -36,40 +36,88 @@ sys.path.insert(0, "/root/reference")
 from benchmarks.compare_quality import psnr_subpixel, reg_errors  # noqa
 
 
-def real_world_texture(height: int = 1024, width: int = 2048):
-    """Equirect world from the bundled real photo.
+def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = np.linspace(0, img.shape[0] - 1, h, dtype=np.float32)
+    xs = np.linspace(0, img.shape[1] - 1, w, dtype=np.float32)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    y1 = np.minimum(y0 + 1, img.shape[0] - 1)
+    x1 = np.minimum(x0 + 1, img.shape[1] - 1)
+    if img.ndim == 2:
+        img = img[..., None]
+    out = ((img[y0][:, x0] * (1 - fy) + img[y1][:, x0] * fy) * (1 - fx)
+           + (img[y0][:, x1] * (1 - fy) + img[y1][:, x1] * fy) * fx)
+    return out
 
-    The photo band is mirror-tiled across the full azimuth (repeated +
-    mirrored structure); rows above/below fade into blurred low-texture
-    extensions of the edge rows (a sky/floor analog).
+
+def real_world_texture(height: int = 1024, width: int = 2048):
+    """Equirect world stitched from DISTINCT real-data tiles.
+
+    A first attempt mirror-tiled ONE photo around the azimuth; exact
+    repeats 90 deg apart made registration mathematically ambiguous and
+    broke BOTH pipelines identically (51 deg mean rotation error each —
+    the match graph cannot distinguish a view of tile 0 from a view of
+    its pixel-identical copy at tile 2). Real scenes are not globally
+    periodic, so the honest world uses four DIFFERENT real signals:
+    the bundled portrait photo (grace_hopper.jpg), a hillshaded real
+    terrain DEM (jacksboro_fault_dem.npz), an MRI slice (s1045.ima.gz),
+    and smooth real topography (topobathy.npz) as the low-texture tile —
+    all from matplotlib's sample data. Views sweep the photo/DEM/MRI
+    tiles; low-texture fades fill the poles.
     """
+    import gzip
+
     import matplotlib.cbook as cbook
     from PIL import Image
 
-    p = cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)
-    photo = np.asarray(Image.open(p)).astype(np.float32) / 255.0  # RGB
-    ph, pw = photo.shape[:2]
+    base = os.path.dirname(cbook.get_sample_data("grace_hopper.jpg",
+                                                 asfileobj=False))
+    photo = np.asarray(Image.open(
+        os.path.join(base, "grace_hopper.jpg"))).astype(np.float32) / 255
 
-    reps = -(-width // pw)
-    tiles = []
-    for k in range(reps):
-        tiles.append(photo[:, ::-1] if k % 2 else photo)
-    band = np.concatenate(tiles, axis=1)[:, :width]
+    dem = np.load(os.path.join(base, "jacksboro_fault_dem.npz"))
+    elev = dem["elevation"].astype(np.float32)
+    gy, gx = np.gradient(elev)
+    # Lambertian hillshade from the NW + elevation-tinted color
+    nz = 1.0 / np.sqrt(1 + gx * gx + gy * gy)
+    shade = np.clip((-gx * -0.5 - gy * 0.5 + 1.0) * nz, 0, 1)
+    e01 = (elev - elev.min()) / (np.ptp(elev) + 1e-9)
+    terrain = np.stack([shade * (0.4 + 0.6 * e01),
+                        shade * (0.5 + 0.3 * e01),
+                        shade * (0.35 + 0.25 * (1 - e01))], axis=-1)
+
+    with gzip.open(os.path.join(base, "s1045.ima.gz")) as f:
+        mri = np.frombuffer(f.read(), np.uint16).reshape(256, 256)
+    mri = (mri.astype(np.float32) / max(mri.max(), 1))[..., None]
+    mri = np.repeat(mri, 3, axis=-1)
+
+    topo = np.load(os.path.join(base, "topobathy.npz"))["topo"]
+    topo = (topo.astype(np.float32) - topo.min()) / (np.ptp(topo) + 1e-9)
+    topo = np.stack([0.2 + 0.3 * topo, 0.3 + 0.3 * topo,
+                     0.4 + 0.4 * topo], axis=-1)
+
+    th, tw = 600, width // 4
+    band = np.concatenate([
+        _resize_bilinear(topo, th, tw),      # low-texture tile (back)
+        _resize_bilinear(photo, th, tw),
+        _resize_bilinear(terrain, th, tw),
+        _resize_bilinear(mri, th, tw),
+    ], axis=1).astype(np.float32)
 
     tex = np.zeros((height, width, 3), np.float32)
-    y0 = (height - ph) // 2
-    tex[y0:y0 + ph] = band
-    # low-texture fades: edge row + vertical cosine fade to its mean
-    top = band[0]
-    bot = band[-1]
-    for row, edge in ((np.arange(y0), top),
-                      (np.arange(y0 + ph, height), bot)):
-        if not len(row):
+    y0 = (height - th) // 2
+    tex[y0:y0 + th] = band
+    # low-texture fades above/below: edge row -> its mean
+    for rows, edge in ((np.arange(y0), band[0]),
+                       (np.arange(y0 + th, height), band[-1])):
+        if not len(rows):
             continue
-        d = np.abs(row[:, None, None]
-                   - (y0 if edge is top else y0 + ph - 1)) / max(y0, 1)
+        d = np.abs(rows[:, None, None]
+                   - (y0 if rows[0] < y0 else y0 + th - 1)) / max(y0, 1)
         fade = 0.5 * (1 + np.cos(np.clip(d, 0, 1) * np.pi))
-        tex[row] = edge[None] * fade + edge.mean() * (1 - fade)
+        tex[rows] = edge[None] * fade + edge.mean() * (1 - fade)
     return tex
 
 
