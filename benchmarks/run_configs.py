@@ -54,6 +54,14 @@ CONFIGS = [
      ["-s", "2", "--ba", "last", "-c"]),
 ]
 
+# The capability headline the reference cannot touch: its 1400-px cap
+# exists because CPU rendering is slow (stitcher.py:17,153-155); on TPU
+# the exact Pallas warp removes the rationale. Rendered twice (auto ->
+# Pallas kernel vs forced XLA gather) to record time + agreement.
+HIGHRES = ("highres_flagship_maxres4000",
+           dict(n_views=10, shape=(1080, 1440), seed=15),
+           ["-s", "1", "--max-resolution", "4000"])
+
 
 def main():
     import glob
@@ -86,6 +94,38 @@ def main():
                 "filled_frac": round(filled, 3),
             }
             print(json.dumps({name: results[name]}), flush=True)
+
+        # high-res flagship: Pallas (auto) vs forced XLA gather
+        name, ds_kwargs, flags = HIGHRES
+        ds = make_ds(tmp, name, **ds_kwargs)
+        row = {}
+        mosaics = {}
+        for warp in ("auto", "xla"):
+            cache = os.path.join(tmp, f"{name}_{warp}_cache")
+            os.makedirs(cache, exist_ok=True)
+            args = build_parser().parse_args(
+                [ds, *flags, "--warp", warp, "--cache-dir", cache])
+            t0 = time.time()
+            run(args)
+            cold = time.time() - t0
+            for f in glob.glob(os.path.join(cache, "*")):
+                os.remove(f)
+            t0 = time.time()
+            mosaics[warp] = run(args)
+            row[warp] = {"cold_s": round(cold, 2),
+                         "steady_s": round(time.time() - t0, 2)}
+        d = (mosaics["auto"].astype(np.float64)
+             - mosaics["xla"].astype(np.float64))
+        mse = float(np.mean(d * d))
+        row["mosaic"] = list(mosaics["auto"].shape)
+        row["pallas_vs_xla_psnr_db"] = round(
+            99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse), 1)
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+        import cv2
+        cv2.imwrite(os.path.join(ROOT, "benchmarks",
+                                 "mosaic_highres4000.png"),
+                    mosaics["auto"])
     with open(os.path.join(ROOT, "benchmarks", "CONFIGS.json"), "w") as fid:
         json.dump(results, fid, indent=2)
 

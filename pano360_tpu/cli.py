@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="output projection surface (the reference "
                              "ships the cylindrical model, "
                              "stitcher.py:90-104, but never wires it).")
+    parser.add_argument("--warp", default="auto",
+                        choices=["auto", "pallas", "xla"],
+                        help="backward-warp kernel policy: auto = fused "
+                             "Pallas kernel whenever it is exact and "
+                             "fastest, pallas = force the kernel (mip-"
+                             "sampled under minification), xla = always "
+                             "the XLA gather.")
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard the pipeline over this many devices "
                              "(jax.sharding.Mesh: extraction over images, "
@@ -162,6 +169,8 @@ def run(args, timer: Optional[StageTimer] = None) -> np.ndarray:
                                equalize=args.equalize, crop=args.crop,
                                dev_images=dev_images,
                                max_resolution=args.max_resolution,
+                               use_pallas={"auto": None, "pallas": True,
+                                           "xla": False}[args.warp],
                                projection=args.projection, mesh=mesh)
     return mosaic
 

@@ -60,6 +60,10 @@ class SiftConfig:
     descr_ori_bins: int = 8
     descr_samples: int = 16      # 16x16 rotated sample grid
     descr_mag_thresh: float = 0.2
+    # scale-space construction: "incremental" = the cv2-parity chain of
+    # per-layer blurs; "direct" = every layer from the base in two MXU
+    # conv dispatches (_gaussian_stack_direct)
+    gauss_mode: str = "incremental"
     # post-refinement compaction: octaves with >=1024 candidate slots
     # keep only the top max(cap >> sel_shift, 512) surviving candidates
     # by |contrast| before the (heavy) patch/orientation/descriptor
@@ -126,6 +130,8 @@ def n_octaves_for(shape: Tuple[int, int], upscale: bool) -> int:
 
 def _gaussian_stack(base: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
     """One octave's Gaussian images: (N, H, W) -> (N, S+3, H, W)."""
+    if getattr(cfg, "gauss_mode", "incremental") == "direct":
+        return _gaussian_stack_direct(base, cfg)
     s = cfg.n_layers
     k = 2.0 ** (1.0 / s)
     sigs = [cfg.sigma * (k ** i) for i in range(s + 3)]
@@ -134,6 +140,63 @@ def _gaussian_stack(base: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
         delta = math.sqrt(sigs[i] ** 2 - sigs[i - 1] ** 2)
         imgs.append(_blur_nhw(imgs[-1], delta, _cv2_sift_ksize(delta)))
     return jnp.stack(imgs, axis=1)
+
+
+def _gaussian_stack_direct(base: jnp.ndarray, cfg: SiftConfig
+                           ) -> jnp.ndarray:
+    """All octave layers straight from the base in TWO conv dispatches.
+
+    Layer i carries total blur sigs[i]; Gaussians compose, so
+    ``blur(base, sqrt(sigs[i]^2 - sigs[0]^2))`` equals the incremental
+    chain (what cv2 computes, features.py via GaussianBlur) up to kernel
+    truncation and f32 rounding. The incremental chain is 2*(S+2)
+    bandwidth-bound shifted-slice passes over the full image; here ONE
+    row conv produces every layer from the single gray channel and ONE
+    depthwise col conv finishes them — both lower onto the MXU. Shorter
+    kernels zero-pad to the longest (exact: the padded taps are zeros),
+    and the single reflect-pad by the longest half-width gives each
+    layer the same border values its own pad would (reflect indexing
+    depends only on distance from the edge).
+
+    Opt-in via ``SiftConfig.gauss_mode='direct'``; parity with the
+    incremental chain is pinned by test_sift (interior ~1e-6, border
+    ~1e-3 from composition-order rounding) and the A/B is gated on
+    downstream ground-truth registration (BENCHMARKS.md).
+    """
+    import numpy as np
+
+    s = cfg.n_layers
+    k = 2.0 ** (1.0 / s)
+    sig0 = cfg.sigma
+    deltas = [math.sqrt(sig0 ** 2 * (k ** (2 * i) - 1.0))
+              for i in range(1, s + 3)]
+    ksizes = [_cv2_sift_ksize(d) for d in deltas]
+    kk = max(ksizes)
+    half = kk // 2
+    ll = len(deltas)
+
+    # trace-time constants: same taps as ops.filters.gaussian_kernel1d
+    # (cv2.getGaussianKernel in f64, normalized, cast f32) built in pure
+    # numpy — a jnp constant here would be a tracer under the outer jit
+    kmat = np.zeros((ll, kk), np.float32)
+    for i, (d, ks) in enumerate(zip(deltas, ksizes)):
+        off = (kk - ks) // 2
+        x = np.arange(ks, dtype=np.float64) - (ks - 1) / 2.0
+        g = np.exp(-(x * x) / (2.0 * d * d))
+        kmat[i, off:off + ks] = (g / g.sum()).astype(np.float32)
+
+    x = jnp.pad(base, ((0, 0), (half, half), (half, half)),
+                mode="reflect")[:, None]               # (N, 1, H+2p, W+2p)
+    prec = lax.Precision.HIGHEST
+    rows = lax.conv_general_dilated(
+        x, jnp.asarray(kmat)[:, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=prec)                                # (N, L, H+2p, W)
+    cols = lax.conv_general_dilated(
+        rows, jnp.asarray(kmat)[:, None, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=ll, precision=prec)        # (N, L, H, W)
+    return jnp.concatenate([base[:, None], cols], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -1029,8 +1029,10 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
     path) or "cylindrical" (the reference ships the model,
     stitcher.py:90-104, but never wires it; here it is a first-class
     output mode). ``mesh``: optional ``jax.sharding.Mesh`` ("data" axis)
-    — the backward warp shards over regions, patches all-gather over
-    ICI, the blend runs replicated. Returns a uint8 BGR mosaic.
+    — the backward warp AND the blend shard over regions; per-device
+    canvas accumulators combine over ICI with each blender's
+    associative reduction (``_blend_sharded``). Returns a uint8 BGR
+    mosaic.
 
     Seam-crossing views (360-degree sweeps) render into their TRUE
     unwrapped footprint and paste modulo the full-turn width instead of

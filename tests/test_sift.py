@@ -79,6 +79,41 @@ class TestExtract:
         assert ours > 0.6 * cv_n, f"ours {ours} vs cv2 {cv_n}"
 
 
+class TestGaussianStackDirect:
+    """The two-dispatch direct Gaussian stack must reproduce the
+    incremental cv2-parity chain (Gaussians compose: blur(base,
+    sqrt(sig_i^2 - sig_0^2)) == chain of per-layer blurs, up to kernel
+    truncation + f32 composition-order rounding)."""
+
+    def test_matches_incremental_chain(self, pair):
+        _, _, grays, _, _ = pair
+        base = S._base_image(jnp.asarray(grays), CFG)
+        inc = np.asarray(S._gaussian_stack(base, CFG))
+        drc = np.asarray(S._gaussian_stack_direct(base, CFG))
+        assert inc.shape == drc.shape
+        # interior: tight (truncation tails only)
+        m = 24  # > largest half-kernel of the chain
+        npt.assert_allclose(drc[:, :, m:-m, m:-m], inc[:, :, m:-m, m:-m],
+                            atol=2e-4)
+        # borders: reflect-pad composition order differs; still close
+        npt.assert_allclose(drc, inc, atol=5e-3)
+
+    def test_downstream_keypoints_agree(self, pair):
+        """Keypoints from gauss_mode='direct' overlap the incremental
+        set almost completely (sub-threshold DoG wobble only)."""
+        _, _, grays, _, _ = pair
+        f_inc = S.sift_extract(jnp.asarray(grays), CFG)
+        cfg_d = S.SiftConfig(max_kpts=CFG.max_kpts, gauss_mode="direct")
+        f_drc = S.sift_extract(jnp.asarray(grays), cfg_d)
+        for b in range(grays.shape[0]):
+            a = np.asarray(f_inc.xy)[b][np.asarray(f_inc.valid)[b]]
+            c = np.asarray(f_drc.xy)[b][np.asarray(f_drc.valid)[b]]
+            # fraction of incremental kpts with a direct kpt within 0.5px
+            d2 = ((a[:, None] - c[None]) ** 2).sum(-1).min(1)
+            frac = float((d2 < 0.25).mean())
+            assert frac > 0.97, f"batch {b}: only {frac:.3f} matched"
+
+
 class TestDownstreamParity:
     def _match(self, xy, desc, valid, shape):
         cent = jnp.asarray([shape[1] / 2, shape[0] / 2], jnp.float32)
