@@ -1,10 +1,13 @@
 """Scale benchmark: how the TPU pipeline's advantage grows with load.
 
-Runs our pipeline and the CPU reference on a larger synthetic sweep than
-the flagship benchmark (25 views x 2.2 Mpix vs 15 x 1 Mpix) and records
-end-to-end times into SCALE.json. The TPU pipeline's costs are dominated
-by fixed dispatch overheads and the host link at the flagship size, so
-its advantage should widen as real compute grows.
+Runs our pipeline and the CPU reference on larger synthetic sweeps than
+the flagship benchmark (25- and 50-view x 2.2 Mpix vs 15 x 1 Mpix) and
+records end-to-end times into SCALE.json. The TPU pipeline's costs are
+dominated by fixed dispatch overheads and the host link at the flagship
+size, so its advantage should widen as real compute grows; the 50-view
+row doubles the match graph (1225 pairs) and the blend region count to
+show stitch cost stays sub-linear in N (patch footprints shrink as
+views pack denser around the turn).
 """
 import json
 import os
@@ -29,32 +32,40 @@ sys.path.insert(0, "/root/reference")
 
 from pano360_tpu import synth  # noqa: E402
 
-N_VIEWS = 25
 SHAPE = (1296, 1728)   # ~2.2 Mpix
+ROWS = [25, 50]
 
 
-def make_imgs():
-    imgs, _, _ = synth.make_views(n_views=N_VIEWS, shape=SHAPE,
+def make_imgs(n_views):
+    imgs, _, _ = synth.make_views(n_views=n_views, shape=SHAPE,
                                   overlap=0.45, seed=7)
     return [(np.asarray(im) * 255).astype(np.uint8) for im in imgs]
 
 
-def run_ours(imgs):
+def run_ours(imgs, stage_times):
     from pano360_tpu.pipeline import (matching, idx_to_keypoints,
                                       upload_extract)
     from pano360_tpu.register import traverse
     from pano360_tpu import render
 
-    def pipeline():
+    def pipeline(rec=None):
+        t0 = time.time()
         dev, feats = upload_extract(imgs)
         kpts, matches = matching(imgs, seed=0, dev_images=dev, feats=feats)
+        t1 = time.time()
         regions = traverse(imgs, idx_to_keypoints(matches, kpts),
                            badjust="incr")
-        return render.stitch(regions, blender="multiband", dev_images=dev)
+        t2 = time.time()
+        mosaic = render.stitch(regions, blender="multiband", dev_images=dev)
+        if rec is not None:
+            rec["match_s"] = round(t1 - t0, 2)
+            rec["traverse_s"] = round(t2 - t1, 2)
+            rec["stitch_s"] = round(time.time() - t2, 2)
+        return mosaic
 
     pipeline()                     # warm-up (compiles)
     t0 = time.time()
-    mosaic = pipeline()
+    mosaic = pipeline(stage_times)
     return time.time() - t0, mosaic.shape
 
 
@@ -72,22 +83,27 @@ def run_reference(imgs):
 
 
 def main():
-    imgs = make_imgs()
-    print(f"dataset: {N_VIEWS} x {SHAPE} "
-          f"({np.stack(imgs).nbytes / 1e6:.0f} MB)", flush=True)
+    rows = []
+    for n_views in ROWS:
+        imgs = make_imgs(n_views)
+        print(f"dataset: {n_views} x {SHAPE} "
+              f"({np.stack(imgs).nbytes / 1e6:.0f} MB)", flush=True)
 
-    ours_s, ours_shape = run_ours(imgs)
-    print(f"ours: {ours_s:.2f} s -> {ours_shape}", flush=True)
+        stages = {}
+        ours_s, ours_shape = run_ours(imgs, stages)
+        print(f"ours: {ours_s:.2f} s -> {ours_shape} {stages}", flush=True)
 
-    ref_s, ref_shape = run_reference(imgs)
-    print(f"reference: {ref_s:.2f} s -> {ref_shape}", flush=True)
+        ref_s, ref_shape = run_reference(imgs)
+        print(f"reference: {ref_s:.2f} s -> {ref_shape}", flush=True)
 
-    out = {"n_views": N_VIEWS, "shape": list(SHAPE),
-           "ours_s": round(ours_s, 2), "reference_s": round(ref_s, 2),
-           "speedup": round(ref_s / ours_s, 2)}
-    with open(os.path.join(ROOT, "benchmarks", "SCALE.json"), "w") as fid:
-        json.dump(out, fid, indent=2)
-    print(json.dumps(out))
+        rows.append({"n_views": n_views, "shape": list(SHAPE),
+                     "ours_s": round(ours_s, 2), "ours_stages": stages,
+                     "reference_s": round(ref_s, 2),
+                     "speedup": round(ref_s / ours_s, 2)})
+        with open(os.path.join(ROOT, "benchmarks", "SCALE.json"),
+                  "w") as fid:
+            json.dump({"rows": rows}, fid, indent=2)
+        print(json.dumps(rows[-1]), flush=True)
 
 
 if __name__ == "__main__":

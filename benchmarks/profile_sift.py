@@ -75,7 +75,9 @@ def run_stage(stage: str) -> None:
               for i in range(0, len(gray_np), bs)]
     print(f"gray stack: {gray_np.shape} in {len(chunks)}x{bs} batches",
           flush=True)
-    cfg = S.SiftConfig()
+    cfg = S.SiftConfig(
+        gauss_mode=os.environ.get("SIFT_GAUSS", "incremental"),
+        patch_dtype=os.environ.get("SIFT_PATCH_DTYPE", "float32"))
     med = t(stage, lambda: [S.sift_extract(c, cfg, upto=stage)
                             for c in chunks])
     print(f"STAGE {stage} {med:.4f}", flush=True)

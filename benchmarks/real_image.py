@@ -1,13 +1,14 @@
 """End-to-end validation on a REAL photograph (VERDICT r3 item 6).
 
 Every other quality number rests on one synthetic value-noise world
-(synth.world_texture), which is friendly to SIFT. This harness builds a
-world from a real photograph — matplotlib's bundled ``grace_hopper.jpg``
-(public-domain US government portrait), the only real photo shipped in
-the environment — mirror-tiled around the azimuth with low-texture
-faded bands above and below: repeated structure + low-texture regions
-are exactly the failure modes value noise cannot exhibit (reference
-validated by eye on real sets, Readme.md:87-100).
+(synth.world_texture), which is friendly to SIFT. This harness builds
+an equirect world from four DISTINCT real-data tiles shipped with
+matplotlib's sample data (``grace_hopper.jpg`` portrait photo, a
+hillshaded terrain DEM, an MRI slice, and smooth topography as the
+low-texture tile — see ``_real_world``): real texture statistics,
+low-texture regions and directional structure are exactly the failure
+modes value noise cannot exhibit (reference validated by eye on real
+sets, Readme.md:87-100).
 
 Renders a rotating-camera sweep (same image-formation model as
 synth.make_views), runs BOTH pipelines end-to-end (multiband), and
