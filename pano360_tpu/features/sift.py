@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -64,6 +65,18 @@ class SiftConfig:
     # per-layer blurs; "direct" = every layer from the base in two MXU
     # conv dispatches (_gaussian_stack_direct)
     gauss_mode: str = "incremental"
+    # dtype of the per-keypoint gradient patches and the one-hot
+    # sampling matmuls: bfloat16 (the default) halves the HBM traffic
+    # of the biggest keypoint-stage buffers and runs the sampling GEMMs
+    # at MXU bf16 rate (f32 accumulate via preferred_element_type).
+    # Gradient quantization error ~2^-8 sits below the uint8 input
+    # quantization (1/255). Gated on the downstream A/B (BENCHMARKS.md):
+    # GT registration parity holds (0.0344 deg mean rel-rot vs 0.032
+    # f32 / 0.030 reference) and e2e PSNR vs the reference IMPROVED
+    # (36.94 -> 38.04 dB aligned); full SIFT 0.480 -> 0.450 s at bench
+    # scale. Overridable via PANO_SIFT_PATCH_DTYPE.
+    patch_dtype: str = os.environ.get("PANO_SIFT_PATCH_DTYPE",
+                                      "bfloat16")
     # post-refinement compaction: octaves with >=1024 candidate slots
     # keep only the top max(cap >> sel_shift, 512) surviving candidates
     # by |contrast| before the (heavy) patch/orientation/descriptor
@@ -160,8 +173,16 @@ def _gaussian_stack_direct(base: jnp.ndarray, cfg: SiftConfig
 
     Opt-in via ``SiftConfig.gauss_mode='direct'``; parity with the
     incremental chain is pinned by test_sift (interior ~1e-6, border
-    ~1e-3 from composition-order rounding) and the A/B is gated on
-    downstream ground-truth registration (BENCHMARKS.md).
+    ~1e-3 from composition-order rounding).
+
+    MEASURED NEGATIVE RESULT (round 4, v5e): at the upscaled base
+    octave (4 x 1728 x 2304 bench batches) XLA lays the grouped col
+    conv's (N, L, H, W) intermediate out with an (N, C)-minor tile —
+    the L=5 channel axis pads to 128 lanes (25.6x memory expansion,
+    7.6 GB for a 304 MB tensor) and the program exceeds HBM. The
+    incremental chain stays the production default; 'direct' remains
+    usable at small shapes (tests) and as a future lever if the
+    layout regression moves.
     """
     import numpy as np
 
@@ -431,10 +452,19 @@ def _refine_one(dog: jnp.ndarray, field: jnp.ndarray, l0, y0, x0,
 # two small matmuls per keypoint on the MXU: sample_s = U[s] @ patch @ V[s]
 # with U/V the separable bilinear one-hot-fraction matrices.
 
-# half-extent of the per-keypoint patch: covers the descriptor window
-# (3 sigma * sqrt(2) * 2.5 <= 39 px at the max octave-relative sigma 3.6)
-# and the orientation window (radius <= 16), plus the gradient margin.
-_PATCH_HALF = 40
+# Half-extent of the per-keypoint patch. The patch must cover every
+# sample the descriptor/orientation stages can read; with the refine
+# clamps (layer in [1, S] and |subpixel offs| < 0.5, _refine_one) the
+# max octave-relative sigma is 1.6 * 2^((S+0.5)/S) = 3.592, and the
+# p=16 descriptor grid reaches |gu| <= 1.875 bin units, so the farthest
+# gradient read is 0.5 (subpixel) + 1.875*sqrt(2)*3*sigma (rotated
+# grid) + 1 (bilinear footprint) = 30.07 px; the orientation window
+# radius is round(4.5*sigma) = 16. half-1 = 31 >= 30.07 keeps every
+# sample inside the patch (round 3 used 40 from cv2's conservative
+# (d+1)/2 window-radius formula; shrinking to 32 drops no samples and
+# makes psg = 64 — a full MXU sublane tile — cutting the per-candidate
+# row DMAs and the one-hot sampling matmuls by ~36%).
+_PATCH_HALF = 32
 
 
 def _extract_patch(gauss: jnp.ndarray, l, y, x, ps: int):
@@ -473,8 +503,10 @@ def _orientation_from_patch(gx, gy, y, x, cy, cx, sig_oct, h, w,
     psg = gx.shape[0]
     ay = cy + 1 + jnp.arange(psg)[:, None]      # absolute rows
     ax = cx + 1 + jnp.arange(psg)[None, :]
-    dyc = (ay - y).astype(gx.dtype)
-    dxc = (ax - x).astype(gx.dtype)
+    # coordinate/weight math stays f32 even for bf16 patches (distances
+    # up to +-31 square past bf16's exact-integer range)
+    dyc = (ay - y).astype(jnp.float32)
+    dxc = (ax - x).astype(jnp.float32)
     radius = jnp.round(4.5 * sig_oct)
     inside = ((jnp.abs(dyc) <= radius) & (jnp.abs(dxc) <= radius)
               & (ay >= 1) & (ay <= h - 2) & (ax >= 1) & (ax <= w - 2))
@@ -488,8 +520,11 @@ def _orientation_from_patch(gx, gy, y, x, cy, cx, sig_oct, h, w,
     bins = jnp.round(ori * (nb / (2 * jnp.pi))).astype(jnp.int32) % nb
     onehot = (bins.reshape(-1)[:, None]
               == jnp.arange(nb)[None, :]).astype(mag.dtype)
-    hist = jnp.dot((mag * wgt).reshape(-1), onehot,
-                   precision=jax.lax.Precision.DEFAULT)
+    # accumulate in f32 regardless of the patch dtype (bf16 inputs run
+    # the contraction at MXU bf16 rate, f32 accumulate)
+    hist = jnp.dot((mag * wgt).astype(mag.dtype).reshape(-1), onehot,
+                   precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)
 
     # cv2 circular smoothing: (h[i-2]+h[i+2])/16 + 4(h[i-1]+h[i+1])/16 + 6h/16
     hm2, hm1 = jnp.roll(hist, 2), jnp.roll(hist, 1)
@@ -563,9 +598,13 @@ def _descriptor_from_patch(gx_patch, gy_patch, yf, xf, cy, cx, sig_oct,
     uu = uu.astype(gx_patch.dtype)                     # (p^2, psg)
     vv = vv.astype(gx_patch.dtype)
 
+    # bf16 patch dtype runs these GEMMs at MXU bf16 rate; accumulation
+    # and everything downstream stays f32 via preferred_element_type
     prec = jax.lax.Precision.DEFAULT
-    rows_x = jnp.dot(uu, gx_patch, precision=prec)     # (p^2, psg)
-    rows_y = jnp.dot(uu, gy_patch, precision=prec)
+    rows_x = jnp.dot(uu, gx_patch, precision=prec,
+                     preferred_element_type=jnp.float32)  # (p^2, psg)
+    rows_y = jnp.dot(uu, gy_patch, precision=prec,
+                     preferred_element_type=jnp.float32)
     gx = jnp.sum(rows_x * vv, axis=1).reshape(p, p)
     gy = jnp.sum(rows_y * vv, axis=1).reshape(p, p)
 
@@ -744,6 +783,9 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
             pw_ = [(0, 0), (0, 0), (0, pad), (0, pad)]
             gxp = jnp.pad(gxp, pw_)
             gyp = jnp.pad(gyp, pw_)
+        if cfg.patch_dtype != "float32":
+            gxp = gxp.astype(cfg.patch_dtype)
+            gyp = gyp.astype(cfg.patch_dtype)
         if upto == "patch":
             acc += jnp.sum(gxp[..., ::16, ::16])
             octv = nxt

@@ -114,6 +114,65 @@ class TestGaussianStackDirect:
             assert frac > 0.97, f"batch {b}: only {frac:.3f} matched"
 
 
+class TestPatchDtypeBf16:
+    """patch_dtype='bfloat16' (the production default) quantizes the
+    gradient patches and the one-hot sampling GEMMs (f32 accumulate);
+    positions are untouched and descriptors must stay within a few
+    ulps-of-bf16 of the f32 reference path."""
+
+    def test_descriptors_close_positions_exact(self, pair, feats):
+        _, _, grays, _, _ = pair
+        cfg32 = S.SiftConfig(max_kpts=CFG.max_kpts,
+                             patch_dtype="float32")
+        feats = S.sift_extract(jnp.asarray(grays), cfg32)
+        cfg_b = S.SiftConfig(max_kpts=CFG.max_kpts,
+                             patch_dtype="bfloat16")
+        f_b = S.sift_extract(jnp.asarray(grays), cfg_b)
+        # keypoint geometry is computed BEFORE the cast, so every
+        # keypoint matches by exact position; a validity flip (an
+        # orientation peak straddling the 0.8*max threshold under bf16
+        # histogram wobble) reshuffles the global top-k slot order, so
+        # align by position rather than by slot.
+        matched = 0
+        total = 0
+        cos_min = 1.0
+        for b in range(np.asarray(feats.valid).shape[0]):
+            v32 = np.asarray(feats.valid)[b]
+            v16 = np.asarray(f_b.valid)[b]
+            key32 = np.asarray(feats.xy)[b][v32]
+            key16 = np.asarray(f_b.xy)[b][v16]
+            a32 = np.asarray(feats.angle)[b][v32]
+            a16 = np.asarray(f_b.angle)[b][v16]
+            d32 = np.asarray(feats.desc)[b][v32]
+            d16 = np.asarray(f_b.desc)[b][v16]
+            idx = {}
+            for i, p in enumerate(key16):
+                idx.setdefault((round(float(p[0]), 3),
+                                round(float(p[1]), 3)), []).append(i)
+            total += len(key32)
+            for i, (p, a) in enumerate(zip(key32, a32)):
+                cands = idx.get((round(float(p[0]), 3),
+                                 round(float(p[1]), 3)), [])
+                # same position; pick the closest angle (duplicate
+                # orientations share positions)
+                best, bd = None, 0.05
+                for j in cands:
+                    d = abs(float(a16[j]) - float(a)) % (2 * np.pi)
+                    d = min(d, 2 * np.pi - d)
+                    if d < bd:
+                        best, bd = j, d
+                if best is None:
+                    continue
+                matched += 1
+                cos_min = min(cos_min, float((d32[i] * d16[best]).sum()))
+        # same keypoint set up to rare threshold flips (~2% observed:
+        # orientation peaks straddling 0.8*max under histogram wobble)
+        assert matched / total > 0.96, (matched, total)
+        # unit-norm descriptors: bf16 sampling moves entries by well
+        # under the 0.2 clip threshold; cosine similarity stays ~1
+        assert cos_min > 0.99, cos_min
+
+
 class TestDownstreamParity:
     def _match(self, xy, desc, valid, shape):
         cent = jnp.asarray([shape[1] / 2, shape[0] / 2], jnp.float32)
