@@ -62,9 +62,10 @@ class SiftConfig:
     descr_samples: int = 16      # 16x16 rotated sample grid
     descr_mag_thresh: float = 0.2
     # scale-space construction: "incremental" = the cv2-parity chain of
-    # per-layer blurs; "direct" = every layer from the base in two MXU
-    # conv dispatches (_gaussian_stack_direct)
-    gauss_mode: str = "incremental"
+    # per-layer blurs (a sequential 2*(S+2)-pass dependency chain);
+    # "direct" = every layer from the shared base as fused slice sums
+    # (_gaussian_stack_direct)
+    gauss_mode: str = os.environ.get("PANO_SIFT_GAUSS", "incremental")
     # dtype of the per-keypoint gradient patches and the one-hot
     # sampling matmuls: bfloat16 (the default) halves the HBM traffic
     # of the biggest keypoint-stage buffers and runs the sampling GEMMs
@@ -157,32 +158,37 @@ def _gaussian_stack(base: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
 
 def _gaussian_stack_direct(base: jnp.ndarray, cfg: SiftConfig
                            ) -> jnp.ndarray:
-    """All octave layers straight from the base in TWO conv dispatches.
+    """All octave layers straight from the base, as fused slice sums.
 
     Layer i carries total blur sigs[i]; Gaussians compose, so
     ``blur(base, sqrt(sigs[i]^2 - sigs[0]^2))`` equals the incremental
     chain (what cv2 computes, features.py via GaussianBlur) up to kernel
-    truncation and f32 rounding. The incremental chain is 2*(S+2)
-    bandwidth-bound shifted-slice passes over the full image; here ONE
-    row conv produces every layer from the single gray channel and ONE
-    depthwise col conv finishes them — both lower onto the MXU. Shorter
-    kernels zero-pad to the longest (exact: the padded taps are zeros),
-    and the single reflect-pad by the longest half-width gives each
-    layer the same border values its own pad would (reflect indexing
-    depends only on distance from the edge).
+    truncation and f32 rounding. The incremental chain is a SEQUENTIAL
+    dependency chain of 2*(S+2) separable passes — each layer waits for
+    the previous — so its HBM traffic cannot overlap. Here every layer
+    reads the SAME reflect-padded base: the S+2 row passes share one
+    padded input (XLA multi-output fusion CSEs the shifted slices), and
+    the col passes are independent, so the whole stack is two
+    bandwidth-bound sweeps with no serialization.
 
-    Opt-in via ``SiftConfig.gauss_mode='direct'``; parity with the
-    incremental chain is pinned by test_sift (interior ~1e-6, border
-    ~1e-3 from composition-order rounding).
+    Expressed as shifted-slice multiply-adds (ops.filters._conv_axis
+    style) rather than ``conv_general_dilated``: a (N, L, H, W) conv
+    custom-call forced an (N, C)-minor layout where L=5 pads to 128
+    lanes (25.6x HBM expansion — OOM at bench scale, the round-4
+    negative result); elementwise slice sums keep XLA's natural (8, 128)
+    (H, W) tiling.
 
-    MEASURED NEGATIVE RESULT (round 4, v5e): at the upscaled base
-    octave (4 x 1728 x 2304 bench batches) XLA lays the grouped col
-    conv's (N, L, H, W) intermediate out with an (N, C)-minor tile —
-    the L=5 channel axis pads to 128 lanes (25.6x memory expansion,
-    7.6 GB for a 304 MB tensor) and the program exceeds HBM. The
-    incremental chain stays the production default; 'direct' remains
-    usable at small shapes (tests) and as a future lever if the
-    layout regression moves.
+    Parity with the incremental chain is pinned by test_sift (interior
+    ~1e-6, border ~1e-3 from composition-order rounding).
+
+    MEASURED NEGATIVE RESULT (round 4, v5e, bench scale): full SIFT
+    0.481 s direct vs 0.448 s incremental, gauss prefix 0.172 vs
+    0.154 s. Removing the chain serialization does not pay for the
+    direct kernels' larger taps (direct deltas sqrt(sig_i^2 - sig_0^2)
+    need ksize up to 39 vs the chain's 25; ~1.4x the tap work), and
+    the chain already runs near HBM bandwidth (~6 ms per 4-image
+    1-Mpix-octave stack; the profile's 0.154 s is dominated by the 4x
+    pixels of the upscaled base octave). Incremental stays the default.
     """
     import numpy as np
 
@@ -192,32 +198,36 @@ def _gaussian_stack_direct(base: jnp.ndarray, cfg: SiftConfig
     deltas = [math.sqrt(sig0 ** 2 * (k ** (2 * i) - 1.0))
               for i in range(1, s + 3)]
     ksizes = [_cv2_sift_ksize(d) for d in deltas]
-    kk = max(ksizes)
-    half = kk // 2
-    ll = len(deltas)
+    half = max(ksizes) // 2
 
-    # trace-time constants: same taps as ops.filters.gaussian_kernel1d
-    # (cv2.getGaussianKernel in f64, normalized, cast f32) built in pure
-    # numpy — a jnp constant here would be a tracer under the outer jit
-    kmat = np.zeros((ll, kk), np.float32)
-    for i, (d, ks) in enumerate(zip(deltas, ksizes)):
-        off = (kk - ks) // 2
+    # trace-time tap constants: same rule as ops.filters.gaussian_kernel1d
+    # (cv2.getGaussianKernel in f64, normalized, cast f32)
+    def taps(d, ks):
         x = np.arange(ks, dtype=np.float64) - (ks - 1) / 2.0
         g = np.exp(-(x * x) / (2.0 * d * d))
-        kmat[i, off:off + ks] = (g / g.sum()).astype(np.float32)
+        return (g / g.sum()).astype(np.float32)
 
-    x = jnp.pad(base, ((0, 0), (half, half), (half, half)),
-                mode="reflect")[:, None]               # (N, 1, H+2p, W+2p)
-    prec = lax.Precision.HIGHEST
-    rows = lax.conv_general_dilated(
-        x, jnp.asarray(kmat)[:, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=prec)                                # (N, L, H+2p, W)
-    cols = lax.conv_general_dilated(
-        rows, jnp.asarray(kmat)[:, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=ll, precision=prec)        # (N, L, H, W)
-    return jnp.concatenate([base[:, None], cols], axis=1)
+    n, h, w = base.shape
+    # one shared reflect pad over rows; each layer's own (smaller) pad is
+    # the centered window of this one (reflect indexing depends only on
+    # distance from the edge)
+    padr = jnp.pad(base, ((0, 0), (0, 0), (half, half)), mode="reflect")
+    layers = []
+    for d, ks in zip(deltas, ksizes):
+        g = taps(d, ks)
+        off = half - ks // 2
+        row = None
+        for i in range(ks):
+            term = padr[:, :, off + i: off + i + w] * float(g[i])
+            row = term if row is None else row + term
+        padc = jnp.pad(row, ((0, 0), (ks // 2, ks // 2), (0, 0)),
+                       mode="reflect")
+        col = None
+        for i in range(ks):
+            term = padc[:, i: i + h, :] * float(g[i])
+            col = term if col is None else col + term
+        layers.append(col)
+    return jnp.stack([base] + layers, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -722,7 +732,11 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
         if o + 1 < n_oct:
             nxt = gauss[:, s][:, ::2, ::2]  # cv2: downsample layer S
         if upto == "gauss":
-            acc += jnp.sum(dog[:, 0, ::8, ::8])
+            # dense reduction: a ::8 strided-slice checksum here produced
+            # a fused kernel that reliably faulted the TPU worker (5
+            # attempts across link windows); the full-plane sum compiles
+            # and runs fine and costs nothing at profile granularity
+            acc += jnp.sum(dog[:, 0])
             octv = nxt
             continue
         cap = min(caps[o], s * dog.shape[2] * dog.shape[3])
