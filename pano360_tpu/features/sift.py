@@ -67,17 +67,19 @@ class SiftConfig:
     # (_gaussian_stack_direct)
     gauss_mode: str = os.environ.get("PANO_SIFT_GAUSS", "incremental")
     # dtype of the per-keypoint gradient patches and the one-hot
-    # sampling matmuls: bfloat16 (the default) halves the HBM traffic
-    # of the biggest keypoint-stage buffers and runs the sampling GEMMs
-    # at MXU bf16 rate (f32 accumulate via preferred_element_type).
-    # Gradient quantization error ~2^-8 sits below the uint8 input
-    # quantization (1/255). Gated on the downstream A/B (BENCHMARKS.md):
-    # GT registration parity holds (0.0344 deg mean rel-rot vs 0.032
-    # f32 / 0.030 reference) and e2e PSNR vs the reference IMPROVED
-    # (36.94 -> 38.04 dB aligned); full SIFT 0.480 -> 0.450 s at bench
-    # scale. Overridable via PANO_SIFT_PATCH_DTYPE.
+    # sampling matmuls: bfloat16 halves the HBM traffic of the biggest
+    # keypoint-stage buffers and runs the sampling GEMMs at MXU bf16
+    # rate (f32 accumulate) — full SIFT 0.480 -> 0.450 s at bench
+    # scale, and on the value-noise world its quality gate even
+    # improved (e2e 36.94 -> 38.04 dB). But the REAL-TEXTURE gate
+    # (benchmarks/ab_real_quality.py) caught a regression the friendly
+    # synthetic world hid: mean rel-rot error 0.067 -> 0.082 deg and
+    # vs-ground-truth mosaic 38.75 -> 37.88 dB. Registration accuracy
+    # is the framework's core quality, so float32 is the default and
+    # bf16 is the measured opt-in (PANO_SIFT_PATCH_DTYPE=bfloat16) for
+    # throughput-first workloads.
     patch_dtype: str = os.environ.get("PANO_SIFT_PATCH_DTYPE",
-                                      "bfloat16")
+                                      "float32")
     # post-refinement compaction: octaves with >=1024 candidate slots
     # keep only the top max(cap >> sel_shift, 512) surviving candidates
     # by |contrast| before the (heavy) patch/orientation/descriptor
@@ -86,6 +88,17 @@ class SiftConfig:
     # rejects), so without compaction ~75% of the descriptor work is on
     # dead slots.
     sel_shift: int = 2
+    # DoG candidate selection: "approx" = lax.approx_max_k (TPU-optimized,
+    # ~2% recall loss on the weakest candidates), "exact" = lax.top_k
+    # (full sort per octave plane — slower, exact recall). A/B knob for
+    # quality studies on low-texture scenes where the weakest candidates
+    # carry registration signal.
+    cand_topk: str = os.environ.get("PANO_SIFT_CAND_TOPK", "approx")
+    # recall target for the approximate top-k (jax default 0.95);
+    # raising it trades a little selection time for fewer dropped
+    # weak candidates
+    cand_recall: float = float(os.environ.get("PANO_SIFT_CAND_RECALL",
+                                              "0.95"))
 
     @property
     def dim(self) -> int:
@@ -281,7 +294,11 @@ def _octave_candidates(dog: jnp.ndarray, cfg: SiftConfig, cap: int):
     cap = min(cap, s * h * w)
     # approximate top-k: avoids a full sort of S*H*W scores per image; the
     # ~2% recall loss only drops the weakest candidates (TPU-optimized op)
-    top, idx = lax.approx_max_k(flat, cap)
+    if getattr(cfg, "cand_topk", "approx") == "exact":
+        top, idx = lax.top_k(flat, cap)
+    else:
+        top, idx = lax.approx_max_k(
+            flat, cap, recall_target=getattr(cfg, "cand_recall", 0.95))
     layer = idx // (h * w) + 1
     rem = idx % (h * w)
     return (layer.astype(jnp.int32), (rem // w).astype(jnp.int32),

@@ -155,31 +155,61 @@ def _pack_kp_valid(kp_buf, va_buf):
 
 @jax.jit
 def _pack_match_results(res: pm.PairMatch) -> jnp.ndarray:
-    """PairMatch tree -> ONE int32 blob (single host pull).
+    """PairMatch tree -> ONE compressed int32 blob (single host pull).
 
-    Layout per pair row: [idx (2M) | inlier (M) | hom bits (9) |
-    n_inliers | ok]. The homography f32s travel as bitcast int32 so the
-    readback is exact.
+    The relay host link runs ~40 MB/s round trip, so the match-graph
+    readback is laid out for minimum bytes, not convenience:
+    ``idx[:, :, 0]`` is always ``arange(M)`` (match_pair builds it that
+    way) so only the best-match column travels, packed two int16 lanes
+    per int32; the inlier mask travels as 32 bools per int32. Layout
+    per pair row::
+
+        [best_idx int16x2 (M/2) | inlier bits (M/32) | hom bits (9)
+         | n_inliers | ok]
+
+    = M/2 + M/32 + 11 int32 vs the naive 3M + 11 — 5.6x smaller
+    (49 -> 8.7 KB per pair at M=4096, ~1.2 s saved on the 1225-pair
+    50-view readback). Homography f32s travel as bitcast int32 so the
+    readback is exact. Requires M % 32 == 0 and M < 2^15 (the
+    compacted capacity is a power of two >= 64 well under 32768).
     """
     p, m = res.idx.shape[:2]
+    best = res.idx[:, :, 1].astype(jnp.int32)              # (P, M)
+    best16 = best[:, 0::2] | (best[:, 1::2] << 16)         # (P, M/2)
+    bits = res.inlier.astype(jnp.int32).reshape(p, m // 32, 32)
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    # distinct powers of two: int32 wraparound reproduces the bit
+    # pattern exactly (bit 31 lands as the sign bit)
+    inl32 = jnp.sum(bits << shifts, axis=-1)               # (P, M/32)
     hom_bits = jax.lax.bitcast_convert_type(
         res.hom.astype(jnp.float32), jnp.int32).reshape(p, 9)
     return jnp.concatenate([
-        res.idx.reshape(p, 2 * m).astype(jnp.int32),
-        res.inlier.astype(jnp.int32),
+        best16,
+        inl32,
         hom_bits,
         res.n_inliers.reshape(p, 1).astype(jnp.int32),
         res.ok.reshape(p, 1).astype(jnp.int32),
-    ], axis=1)
+        # final cast: under x64 some int ops promote to int64; every
+        # value is an int32 bit pattern, so the wraparound cast is exact
+    ], axis=1).astype(jnp.int32)
 
 
 def _unpack_match_results(blob: np.ndarray, m: int) -> "pm.PairMatch":
     """Host-side inverse of ``_pack_match_results`` (numpy views)."""
-    idx = blob[:, : 2 * m].reshape(-1, m, 2)
-    inlier = blob[:, 2 * m: 3 * m].astype(bool)
-    hom = blob[:, 3 * m: 3 * m + 9].copy().view(np.float32).reshape(-1, 3, 3)
-    n_inl = blob[:, 3 * m + 9]
-    ok = blob[:, 3 * m + 10].astype(bool)
+    p = blob.shape[0]
+    u = blob[:, : m // 2].view(np.uint32)
+    best = np.empty((p, m), np.int32)
+    best[:, 0::2] = (u & 0xFFFF).astype(np.int32)
+    best[:, 1::2] = (u >> 16).astype(np.int32)
+    idx = np.stack([np.broadcast_to(np.arange(m, dtype=np.int32), (p, m)),
+                    best], axis=-1)
+    inl32 = blob[:, m // 2: m // 2 + m // 32].view(np.uint32)
+    inlier = ((inl32[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+              ).astype(bool).reshape(p, m)
+    off = m // 2 + m // 32
+    hom = blob[:, off: off + 9].copy().view(np.float32).reshape(-1, 3, 3)
+    n_inl = blob[:, off + 9]
+    ok = blob[:, off + 10].astype(bool)
     return pm.PairMatch(idx=idx, inlier=inlier, hom=hom,
                         n_inliers=n_inl, ok=ok)
 

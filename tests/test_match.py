@@ -223,3 +223,34 @@ class TestMatchPair:
                             jnp.asarray(k2), jnp.asarray(d2), jnp.asarray(v2),
                             jax.random.key(0))
         assert not bool(res.ok)
+
+
+class TestPackedReadback:
+    """The compressed match-result blob (pipeline._pack_match_results)
+    must round-trip PairMatch exactly: int16-packed best indices,
+    bitpacked inlier mask, bitcast homographies."""
+
+    def test_roundtrip_exact(self):
+        from pano360_tpu.pipeline import (_pack_match_results,
+                                          _unpack_match_results)
+        rng = np.random.default_rng(11)
+        p, m = 7, 64
+        best = rng.integers(0, m, (p, m)).astype(np.int32)
+        idx = np.stack([np.broadcast_to(np.arange(m, dtype=np.int32), (p, m)),
+                        best], axis=-1)
+        inlier = rng.random((p, m)) < 0.3
+        # exercise the sign bit of every packed word
+        inlier[:, 31] = True
+        inlier[:, 63] = True
+        hom = rng.normal(size=(p, 3, 3)).astype(np.float32)
+        res = pm.PairMatch(idx=jnp.asarray(idx), inlier=jnp.asarray(inlier),
+                           hom=jnp.asarray(hom),
+                           n_inliers=jnp.asarray(inlier.sum(1), jnp.int32),
+                           ok=jnp.asarray(inlier.sum(1) > 4))
+        out = _unpack_match_results(
+            np.asarray(_pack_match_results(res)), m)
+        npt.assert_array_equal(out.idx, idx)
+        npt.assert_array_equal(out.inlier, inlier)
+        npt.assert_array_equal(out.hom, hom)
+        npt.assert_array_equal(out.n_inliers, inlier.sum(1))
+        npt.assert_array_equal(out.ok, inlier.sum(1) > 4)

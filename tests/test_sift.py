@@ -115,10 +115,11 @@ class TestGaussianStackDirect:
 
 
 class TestPatchDtypeBf16:
-    """patch_dtype='bfloat16' (the production default) quantizes the
-    gradient patches and the one-hot sampling GEMMs (f32 accumulate);
-    positions are untouched and descriptors must stay within a few
-    ulps-of-bf16 of the f32 reference path."""
+    """patch_dtype='bfloat16' (a measured opt-in; float32 is the
+    default after the real-texture A/B, benchmarks/AB_REAL.json)
+    quantizes the gradient patches and the one-hot sampling GEMMs
+    (f32 accumulate); positions are untouched and descriptors must
+    stay within a few ulps-of-bf16 of the f32 reference path."""
 
     def test_descriptors_close_positions_exact(self, pair, feats):
         _, _, grays, _, _ = pair
