@@ -54,7 +54,9 @@ def main():
               for i in range(0, len(gray_np), bs)]
     print(f"gray stack: {gray_np.shape} in {len(chunks)}x{bs} batches "
           f"stage={stage}", flush=True)
-    for mode in ("incremental", "direct"):
+    modes = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else ("incremental", "pallas"))
+    for mode in modes:
         cfg = S.SiftConfig(gauss_mode=mode)
         t(f"{stage}[{mode}]",
           lambda cfg=cfg: [S.sift_extract(c, cfg, upto=stage)

@@ -43,30 +43,50 @@ def make_imgs(n_views):
 
 
 def run_ours(imgs, stage_times):
+    import jax
     from pano360_tpu.pipeline import (matching, idx_to_keypoints,
                                       upload_extract)
     from pano360_tpu.register import traverse
     from pano360_tpu import render
 
     def pipeline(rec=None):
+        # upload+extract timed separately from matching: the image
+        # upload moves N*H*W*3 bytes over the relay link, whose bulk
+        # bandwidth swings ~40 MB/s-1 GB/s between windows — lumping it
+        # into match_s once mis-attributed 8 s of congested upload to
+        # the matcher (round-4 attribution, profile_match_scale.py)
         t0 = time.time()
         dev, feats = upload_extract(imgs)
-        kpts, matches = matching(imgs, seed=0, dev_images=dev, feats=feats)
+        jax.block_until_ready(feats.xy)
         t1 = time.time()
+        kpts, matches = matching(imgs, seed=0, dev_images=dev, feats=feats)
+        t2 = time.time()
         regions = traverse(imgs, idx_to_keypoints(matches, kpts),
                            badjust="incr")
-        t2 = time.time()
+        t3 = time.time()
         mosaic = render.stitch(regions, blender="multiband", dev_images=dev)
         if rec is not None:
-            rec["match_s"] = round(t1 - t0, 2)
-            rec["traverse_s"] = round(t2 - t1, 2)
-            rec["stitch_s"] = round(time.time() - t2, 2)
+            rec["upload_extract_s"] = round(t1 - t0, 2)
+            rec["match_s"] = round(t2 - t1, 2)
+            rec["traverse_s"] = round(t3 - t2, 2)
+            rec["stitch_s"] = round(time.time() - t3, 2)
         return mosaic
 
     pipeline()                     # warm-up (compiles)
-    t0 = time.time()
-    mosaic = pipeline(stage_times)
-    return time.time() - t0, mosaic.shape
+    # 3 timed reps, keep the median total: the relay link's bulk
+    # bandwidth swings ~40 MB/s-1 GB/s between windows and the upload
+    # stage soaks the weather
+    runs = []
+    for _ in range(3):
+        rec = {}
+        t0 = time.time()
+        mosaic = pipeline(rec)
+        runs.append((time.time() - t0, rec))
+    runs.sort(key=lambda r: r[0])
+    med, rec = runs[1]
+    stage_times.update(rec)
+    stage_times["totals_all_reps_s"] = [round(r[0], 2) for r in runs]
+    return med, mosaic.shape
 
 
 def run_reference(imgs):

@@ -7,6 +7,7 @@ refit) so optimization targets the real cost, not the label.
 
 Run: python benchmarks/profile_match_scale.py [n_views]
 """
+import functools
 import os
 import sys
 import time
@@ -89,15 +90,16 @@ def main():
     print(f"  pairs={len(pairs)} batch={batch}", flush=True)
 
     # --- substage dispatches (each over ALL pairs, lax.map chunked) ---
-    def knn_only():
+    @functools.partial(jax.jit, static_argnames=("bs",))
+    def knn_only(ds, va, a_idx, b_idx, bs):
         def one(args):
-            a, b, _ = args
-            idx, good = pm.knn2_matches(ds_c[a], ds_c[b], va_c[a], va_c[b])
+            a, b = args
+            idx, good = pm.knn2_matches(ds[a], ds[b], va[a], va[b])
             return idx.astype(jnp.int32), good
-        return jax.jit(lambda: jax.lax.map(
-            one, (pa, pb, keys), batch_size=batch))()
+        return jax.lax.map(one, (a_idx, b_idx), batch_size=bs)
 
-    t(f"knn2 top-2 only ({len(pairs)} pairs)", knn_only)
+    t(f"knn2 top-2 only ({len(pairs)} pairs)",
+      lambda: knn_only(ds_c, va_c, pa, pb, batch))
 
     def full():
         return pm.match_all_pairs(kp_c, ds_c, va_c, pa, pb, keys,
@@ -105,8 +107,14 @@ def main():
 
     t(f"match_all_pairs full ({len(pairs)} pairs)", full)
 
-    t("match full dispatch + full readback",
+    t("match dispatch + naive 5-pull readback",
       lambda: jax.tree_util.tree_map(np.asarray, full()))
+
+    from pano360_tpu.pipeline import (_pack_match_results,
+                                      _unpack_match_results)
+    t("match dispatch + packed readback (production)",
+      lambda: _unpack_match_results(
+          np.asarray(_pack_match_results(full())), cap))
 
 
 if __name__ == "__main__":

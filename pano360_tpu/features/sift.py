@@ -155,6 +155,32 @@ def n_octaves_for(shape: Tuple[int, int], upscale: bool) -> int:
     return max(int(round(math.log2(side))) - 2, 1)
 
 
+def _gauss_and_dog(base: jnp.ndarray, cfg: SiftConfig):
+    """One octave's (Gaussian stack, DoG stack, extrema score | None).
+
+    ``gauss_mode='pallas'`` computes all three in ONE fused Pallas pass
+    per octave (ops/pallas_gauss.py) when the octave is big enough to
+    pay — the DoG stack is consumed for candidate scoring while still
+    VMEM-resident instead of being re-read from HBM; other modes (and
+    small octaves) take the XLA chain + subtraction and return
+    ``score=None`` so ``_octave_candidates`` computes the dense score
+    itself. All modes produce the same stacks up to border semantics
+    (pinned by test_sift).
+    """
+    if getattr(cfg, "gauss_mode", "incremental") == "pallas":
+        from pano360_tpu.ops import pallas_gauss
+        taps = pallas_gauss.chain_taps(cfg.sigma, cfg.n_layers)
+        h, w = base.shape[1:]
+        if (pallas_gauss.eligible(h, w, taps)
+                and jax.default_backend() == "tpu"):
+            score_cfg = (0.5 * cfg.contrast_thresh / cfg.n_layers,
+                         cfg.edge_thresh, cfg.img_border)
+            return pallas_gauss.octave_stack(base, taps,
+                                             score_cfg=score_cfg)
+    gauss = _gaussian_stack(base, cfg)
+    return gauss, gauss[:, 1:] - gauss[:, :-1], None
+
+
 def _gaussian_stack(base: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
     """One octave's Gaussian images: (N, H, W) -> (N, S+3, H, W)."""
     if getattr(cfg, "gauss_mode", "incremental") == "direct":
@@ -247,49 +273,57 @@ def _gaussian_stack_direct(base: jnp.ndarray, cfg: SiftConfig
 # Extrema detection
 # ---------------------------------------------------------------------------
 
-def _octave_candidates(dog: jnp.ndarray, cfg: SiftConfig, cap: int):
+def _octave_candidates(dog: jnp.ndarray, cfg: SiftConfig, cap: int,
+                       score: jnp.ndarray | None = None):
     """Top-`cap` DoG extrema per image. dog: (N, S+2, H, W).
 
+    ``score``: optional precomputed (N, S, H, W) extrema score map
+    (the fused Pallas octave kernel emits it while the DoG windows are
+    still VMEM-resident); when None the dense score is computed here.
     Returns (layer, y, x, score_valid) each (N, cap) int32/bool.
     """
     n, nl, h, w = dog.shape
     s = cfg.n_layers
-    thresh = 0.5 * cfg.contrast_thresh / s
+    if score is None:
+        thresh = 0.5 * cfg.contrast_thresh / s
 
-    mx = lax.reduce_window(dog, -jnp.inf, lax.max, (1, 3, 3, 3),
-                           (1, 1, 1, 1),
-                           [(0, 0), (0, 0), (1, 1), (1, 1)])
-    mn = lax.reduce_window(dog, jnp.inf, lax.min, (1, 3, 3, 3),
-                           (1, 1, 1, 1),
-                           [(0, 0), (0, 0), (1, 1), (1, 1)])
-    center = dog[:, 1:-1]
-    is_ext = ((center >= mx[:, 1:-1]) & (center > thresh)) | \
-             ((center <= mn[:, 1:-1]) & (center < -thresh))
+        mx = lax.reduce_window(dog, -jnp.inf, lax.max, (1, 3, 3, 3),
+                               (1, 1, 1, 1),
+                               [(0, 0), (0, 0), (1, 1), (1, 1)])
+        mn = lax.reduce_window(dog, jnp.inf, lax.min, (1, 3, 3, 3),
+                               (1, 1, 1, 1),
+                               [(0, 0), (0, 0), (1, 1), (1, 1)])
+        center = dog[:, 1:-1]
+        is_ext = ((center >= mx[:, 1:-1]) & (center > thresh)) | \
+                 ((center <= mn[:, 1:-1]) & (center < -thresh))
 
-    b = cfg.img_border
-    ys = jnp.arange(h)[None, None, :, None]
-    xs = jnp.arange(w)[None, None, None, :]
-    in_border = (ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)
-    is_ext = is_ext & in_border
+        b = cfg.img_border
+        ys = jnp.arange(h)[None, None, :, None]
+        xs = jnp.arange(w)[None, None, None, :]
+        in_border = (ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)
+        is_ext = is_ext & in_border
 
-    # dense edge pre-filter: the same principal-curvature ratio test that
-    # refinement applies, evaluated at integer positions, so the fixed
-    # candidate budget is not wasted on edge responses that would be
-    # rejected later anyway (they dominate raw |DoG| ranking).
-    dxx = center[..., :, 2:] - 2 * center[..., :, 1:-1] + center[..., :, :-2]
-    dyy = center[..., 2:, :] - 2 * center[..., 1:-1, :] + center[..., :-2, :]
-    dxy = (center[..., 2:, 2:] - center[..., 2:, :-2]
-           - center[..., :-2, 2:] + center[..., :-2, :-2]) * 0.25
-    dxx = jnp.pad(dxx, ((0, 0), (0, 0), (0, 0), (1, 1)))
-    dyy = jnp.pad(dyy, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    dxy = jnp.pad(dxy, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    tr = dxx + dyy
-    det = dxx * dyy - dxy * dxy
-    r = cfg.edge_thresh
-    edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
-    is_ext = is_ext & edge_ok
+        # dense edge pre-filter: the same principal-curvature ratio test
+        # that refinement applies, evaluated at integer positions, so the
+        # fixed candidate budget is not wasted on edge responses that
+        # would be rejected later anyway (they dominate raw |DoG|
+        # ranking).
+        dxx = (center[..., :, 2:] - 2 * center[..., :, 1:-1]
+               + center[..., :, :-2])
+        dyy = (center[..., 2:, :] - 2 * center[..., 1:-1, :]
+               + center[..., :-2, :])
+        dxy = (center[..., 2:, 2:] - center[..., 2:, :-2]
+               - center[..., :-2, 2:] + center[..., :-2, :-2]) * 0.25
+        dxx = jnp.pad(dxx, ((0, 0), (0, 0), (0, 0), (1, 1)))
+        dyy = jnp.pad(dyy, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        dxy = jnp.pad(dxy, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        tr = dxx + dyy
+        det = dxx * dyy - dxy * dxy
+        r = cfg.edge_thresh
+        edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+        is_ext = is_ext & edge_ok
 
-    score = jnp.where(is_ext, jnp.abs(center), 0.0)
+        score = jnp.where(is_ext, jnp.abs(center), 0.0)
     flat = score.reshape(n, s * h * w)
     cap = min(cap, s * h * w)
     # approximate top-k: avoids a full sort of S*H*W scores per image; the
@@ -744,8 +778,7 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
     acc = jnp.float32(0)   # profiling checksum (upto != "full" only)
     octv = base
     for o in range(n_oct):
-        gauss = _gaussian_stack(octv, cfg)             # (N, S+3, H, W)
-        dog = gauss[:, 1:] - gauss[:, :-1]             # (N, S+2, H, W)
+        gauss, dog, cscore = _gauss_and_dog(octv, cfg)
         if o + 1 < n_oct:
             nxt = gauss[:, s][:, ::2, ::2]  # cv2: downsample layer S
         if upto == "gauss":
@@ -757,7 +790,8 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
             octv = nxt
             continue
         cap = min(caps[o], s * dog.shape[2] * dog.shape[3])
-        l0, y0, x0, cand_ok = _octave_candidates(dog, cfg, cap)
+        l0, y0, x0, cand_ok = _octave_candidates(dog, cfg, cap,
+                                                 score=cscore)
         if upto == "cand":
             acc += jnp.sum(x0) + jnp.sum(cand_ok)
             octv = nxt
