@@ -287,12 +287,17 @@ def _octave_candidates(dog: jnp.ndarray, cfg: SiftConfig, cap: int,
     if score is None:
         thresh = 0.5 * cfg.contrast_thresh / s
 
+        # layer axis padded so mx[:, 1:-1] is each center layer's OWN
+        # 3x3x3 window (cv2's 26-neighbour test, features.py via
+        # SIFT_detectAndCompute). The unpadded form compared every
+        # center layer against the max over the middle layer band — a
+        # shape fluke that only broadcast for n_layers == 3.
         mx = lax.reduce_window(dog, -jnp.inf, lax.max, (1, 3, 3, 3),
                                (1, 1, 1, 1),
-                               [(0, 0), (0, 0), (1, 1), (1, 1)])
+                               [(0, 0), (1, 1), (1, 1), (1, 1)])
         mn = lax.reduce_window(dog, jnp.inf, lax.min, (1, 3, 3, 3),
                                (1, 1, 1, 1),
-                               [(0, 0), (0, 0), (1, 1), (1, 1)])
+                               [(0, 0), (1, 1), (1, 1), (1, 1)])
         center = dog[:, 1:-1]
         is_ext = ((center >= mx[:, 1:-1]) & (center > thresh)) | \
                  ((center <= mn[:, 1:-1]) & (center < -thresh))

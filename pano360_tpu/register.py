@@ -118,8 +118,9 @@ def _psum(x, axis_name):
 
 
 # Deterministic two-stage reduction: the edge axis is always reduced as
-# EDGE_GROUPS ordered partial sums (see _group_reduce). A mesh sharding
-# the edge axis must use a device count that divides EDGE_GROUPS.
+# EDGE_GROUPS ordered partial sums (see _group_reduce). Meshes of any
+# device count work: the group axis is padded to the next multiple of
+# the device count with all-masked groups (see incremental_register).
 EDGE_GROUPS = 16
 
 

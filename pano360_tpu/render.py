@@ -263,6 +263,18 @@ def estimate_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
     ``shapes``: optional per-image true (h, w) for padded mixed-size
     stacks.
     """
+    overlaps, sizes = overlap_matrices(regions, imgs_rgba, shapes)
+    gains = find_gains(overlaps, sizes)
+    LOG.debug("Gains: %s", gains)
+    return gains
+
+
+def overlap_matrices(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
+                     shapes: Optional[np.ndarray] = None):
+    """(overlaps, sizes) matrices feeding the Brown-Lowe gain solve:
+    overlaps[i, j] = mean intensity of image i over the (i, j) overlap,
+    sizes[i, j] = overlap pixel count (stitcher.py:36-56 semantics,
+    computed in per-pair bbox windows instead of full frames)."""
     n = len(regions)
     height, width = imgs_rgba.shape[1:3]
     if shapes is None:
@@ -326,10 +338,7 @@ def estimate_gains(regions: List[PanoImage], imgs_rgba: jnp.ndarray,
             sizes[i, j] = sizes[j, i] = cnt[k]
             overlaps[i, j] = mi[k]
             overlaps[j, i] = mj[k]
-
-    gains = find_gains(overlaps, sizes)
-    LOG.debug("Gains: %s", gains)
-    return gains
+    return overlaps, sizes
 
 
 def apply_gains(imgs_rgba: jnp.ndarray, gains) -> jnp.ndarray:

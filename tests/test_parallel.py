@@ -113,6 +113,37 @@ class TestParallel:
         psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
         assert psnr >= 50.0, f"mesh mosaic diverged: {psnr:.1f} dB"
 
+    def test_mesh_blend_wrap_parity(self):
+        """_blend_sharded's periodic fold (render.py) on a SEAM-CROSSING
+        sweep: the patch-sharded mesh blend must reproduce the
+        single-device mosaic when given identical regions. 9 views x
+        60 deg fov at 0.2 overlap span 444 deg > 360, so crossing
+        patches exercise the modular fold under shard_map — the
+        wrap x mesh interaction no other mesh test reaches."""
+        from pano360_tpu import render
+
+        imgs, rots, focal = synth.make_views(
+            n_views=9, shape=(120, 160), seed=5, fov_deg=60.0,
+            overlap=0.2)
+        intr = np.diag([focal, focal, 1.0])
+
+        def regions():
+            return [R.PanoImage((im * 255).astype(np.uint8), r.copy(),
+                                intr.copy())
+                    for im, r in zip(imgs, rots)]
+
+        mesh = make_mesh(4)
+        for blender in ("linear", "multiband"):
+            m_s = render.stitch(regions(), blender=blender)
+            m_m = render.stitch(regions(), blender=blender, mesh=mesh)
+            assert m_m.shape == m_s.shape, (m_m.shape, m_s.shape)
+            d = m_m.astype(np.float64) - m_s.astype(np.float64)
+            mse = float(np.mean(d * d))
+            psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+            assert psnr >= 50.0, f"{blender}: wrap mesh blend {psnr:.1f} dB"
+            # every column a crossing view covers must get content
+            assert (m_m.sum(axis=(0, 2)) > 0).all(), blender
+
     def test_mixed_shape_mesh_matching_parity(self):
         """Mixed image shapes shard per shape bucket; features and the
         match graph must be bit-identical to the single-device run."""

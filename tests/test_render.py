@@ -124,6 +124,74 @@ class TestEqualize:
         assert p >= 30.0, f"PSNR {p:.1f} dB"
 
 
+class TestWindowedOverlapStats:
+    """The bbox-windowed overlap statistics (render.overlap_matrices /
+    _pair_overlap_stats) must equal full-frame warps (the reference's
+    semantics, stitcher.py:48-56): the window is the warped-quad bbox
+    +2 px clamped into the frame, so every overlap pixel lies inside it
+    by construction."""
+
+    @staticmethod
+    def _full_frame_stats(regions, imgs_rgba):
+        n = len(regions)
+        h, w = imgs_rgba.shape[1:3]
+        overlaps = np.zeros((n, n))
+        sizes = np.zeros((n, n))
+        tr = np.array([[1, 0, w / 2], [0, 1, h / 2], [0, 0, 1.0]])
+        inv_tr = np.array([[1, 0, -w / 2], [0, 1, -h / 2], [0, 0, 1.0]])
+        corners = np.array([[0, 0, 1], [w, 0, 1], [w, h, 1], [0, h, 1]])
+        for i in range(n):
+            for j in range(i + 1, n):
+                hom = tr @ render._np_hom_to_from(
+                    regions[i], regions[j]) @ inv_tr
+                if np.any((corners @ hom.T)[:, 2] < 0):
+                    continue
+                ov = np.asarray(render.warp_perspective(
+                    imgs_rgba[j], jnp.asarray(hom, jnp.float32), (h, w),
+                    border="constant", cval=0.0))
+                mask = ov[..., 3] != 0
+                cnt = int(mask.sum())
+                if cnt == 0:
+                    continue
+                im_i = np.asarray(imgs_rgba[i])
+                sizes[i, j] = sizes[j, i] = cnt
+                overlaps[i, j] = im_i[..., :3][mask].sum() / (cnt * 3)
+                overlaps[j, i] = ov[..., :3][mask].sum() / (cnt * 3)
+        return overlaps, sizes
+
+    def _check(self, regions):
+        stack = np.stack([r.img for r in regions]).astype(np.float32) / 255
+        rgba = render.add_weights(jnp.asarray(stack))
+        ov_win, sz_win = render.overlap_matrices(regions, rgba)
+        ov_full, sz_full = self._full_frame_stats(regions, rgba)
+        # counts: identical pixel sets up to alpha==0 boundary ties under
+        # the window's f32 coordinate recomposition (shift @ hom)
+        assert np.abs(sz_win - sz_full).max() <= 2, (sz_win, sz_full)
+        npt.assert_allclose(ov_win, ov_full, atol=1e-3)
+        npt.assert_allclose(render.find_gains(ov_win, sz_win),
+                            render.find_gains(ov_full, sz_full),
+                            rtol=1e-3)
+
+    def test_matches_full_frame(self):
+        ours, _ = make_regions()
+        self._check(ours)
+
+    def test_matches_full_frame_oblique_pair(self):
+        """A near-degenerate pair: one view rolled+tilted so its warped
+        quad is a long oblique sliver mostly outside the frame — the
+        bbox clamping path the round-4 rewrite introduced."""
+        ours, _ = make_regions(n_views=4, overlap=0.5)
+        roll = np.array([[np.cos(0.5), -np.sin(0.5), 0],
+                         [np.sin(0.5), np.cos(0.5), 0], [0, 0, 1.0]])
+        tilt_ang = 0.35
+        tilt = np.array([[1, 0, 0],
+                         [0, np.cos(tilt_ang), -np.sin(tilt_ang)],
+                         [0, np.sin(tilt_ang), np.cos(tilt_ang)]])
+        ours[1] = PanoImage(ours[1].img, tilt @ roll @ ours[1].rot,
+                            ours[1].intr)
+        self._check(ours)
+
+
 class TestCrop:
     def test_native_matches_python(self):
         for _ in range(5):
