@@ -13,6 +13,10 @@ value-noise world:
 This harness sweeps the 2x2 grid on the real-texture world and prints
 registration errors + vs-GT mosaic PSNR per cell. Run:
     python benchmarks/ab_real_quality.py
+Optional argv override the swept values (comma lists):
+    python benchmarks/ab_real_quality.py float32 approx incremental,pallas
+sweeps gauss_mode at the production patch_dtype/cand_topk (the gate
+used before flipping the fused Pallas octave kernel default).
 """
 import json
 import os
@@ -49,26 +53,37 @@ def main():
             g = uu @ np.diag([1, 1, -1]) @ vt
         return [rg @ g for rg in rots_gt]
 
+    dtypes = (sys.argv[1].split(",") if len(sys.argv) > 1
+              else ("bfloat16", "float32"))
+    cands = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else ("approx", "exact"))
+    gmodes = (sys.argv[3].split(",") if len(sys.argv) > 3
+              else ("incremental",))
     out = {}
-    for patch_dtype in ("bfloat16", "float32"):
-        for cand in ("approx", "exact"):
-            cfg = S.SiftConfig(patch_dtype=patch_dtype, cand_topk=cand)
-            feats = pl._gray_extract(dev, cfg)
-            kpts, matches = matching(imgs, seed=0, dev_images=dev,
-                                     feats=feats)
-            regs = traverse(imgs, idx_to_keypoints(matches, kpts),
-                            badjust="incr")
-            m_ours = render.stitch(regs, blender="multiband",
-                                   dev_images=dev)
-            errs = reg_errors(regs, rots_gt, focal_gt)
-            gt_ours = [PanoImage(im.copy(), r.copy(), intr_gt.copy())
-                       for im, r in zip(imgs,
-                                        align_gt([r.rot for r in regs]))]
-            m_gt = render.stitch(gt_ours, blender="multiband")
-            p, *_ = psnr_subpixel(m_ours, m_gt)
-            key = f"{patch_dtype}/{cand}"
-            out[key] = {"placed": len(regs), "vs_gt_db": round(p, 2), **errs}
-            print(key, json.dumps(out[key]), flush=True)
+    for patch_dtype in dtypes:
+        for cand in cands:
+            for gmode in gmodes:
+                cfg = S.SiftConfig(patch_dtype=patch_dtype, cand_topk=cand,
+                                   gauss_mode=gmode)
+                feats = pl._gray_extract(dev, cfg)
+                kpts, matches = matching(imgs, seed=0, dev_images=dev,
+                                         feats=feats)
+                regs = traverse(imgs, idx_to_keypoints(matches, kpts),
+                                badjust="incr")
+                m_ours = render.stitch(regs, blender="multiband",
+                                       dev_images=dev)
+                errs = reg_errors(regs, rots_gt, focal_gt)
+                gt_ours = [PanoImage(im.copy(), r.copy(), intr_gt.copy())
+                           for im, r in zip(
+                               imgs, align_gt([r.rot for r in regs]))]
+                m_gt = render.stitch(gt_ours, blender="multiband")
+                p, *_ = psnr_subpixel(m_ours, m_gt)
+                key = f"{patch_dtype}/{cand}"
+                if len(gmodes) > 1 or gmode != "incremental":
+                    key += f"/{gmode}"
+                out[key] = {"placed": len(regs), "vs_gt_db": round(p, 2),
+                            **errs}
+                print(key, json.dumps(out[key]), flush=True)
     print(json.dumps(out))
 
 

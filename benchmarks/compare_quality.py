@@ -243,6 +243,21 @@ def main():
     print(f"shared match graph (our matches -> ref BA+render) vs our "
           f"mosaic: {p_rev:.2f} dB", flush=True)
 
+    # the deconflated version of the cell above: compare the reference's
+    # BA on OUR matches against OUR pipeline at the reference's exact LM
+    # stop (m_par: polish=False). Both sides now share the match graph
+    # AND the optimizer schedule semantics, so the residual is pure BA
+    # implementation difference on our matches — the mirror of
+    # shared_matchgraph_parity_db (which shares the REFERENCE's matches).
+    # Together the two parity cells split the independent e2e gap into
+    # "BA implementation" (these cells) vs "front-end match graph" (the
+    # rest).
+    p_rp, sy_rp, sx_rp = psnr_subpixel(m_par, m_rev)
+    out["shared_matchgraph_ref_ba_parity_db"] = {"psnr": round(p_rp, 2),
+                                                 "shift": [sy_rp, sx_rp]}
+    print(f"our matches, both at reference LM stop (ref BA vs our BA): "
+          f"{p_rp:.2f} dB", flush=True)
+
     # --- registration error vs synthetic ground truth (accounts for the
     # e2e PSNR numerically: two *independent* ML estimates each carry a
     # noise floor vs GT; their difference — not render fidelity — bounds

@@ -73,6 +73,39 @@ def run_ours(imgs, stage_times):
         return mosaic
 
     pipeline()                     # warm-up (compiles)
+
+    # one-off split probes: the production upload_extract interleaves
+    # the two on purpose (batch k+1's transfer rides under batch k's
+    # SIFT), so the honest decomposition is measured separately —
+    # upload-only (device_put the same bytes, block) vs extract-only
+    # (SIFT on already-resident batches). upload_only_s + extract_only_s
+    # >= upload_extract_s when the overlap works; the delta is the
+    # overlap won back. Link weather makes upload_only_s the volatile
+    # term, so the implied link rate is recorded alongside.
+    from pano360_tpu.features import sift as S
+    from pano360_tpu.pipeline import _gray_extract
+    bs = 4
+    n = len(imgs)
+    nb = -(-n // bs)
+    padded = list(imgs) + [imgs[-1]] * (nb * bs - n)
+    batches = [np.stack(padded[b * bs:(b + 1) * bs]) for b in range(nb)]
+    t0 = time.time()
+    chunks = [jax.device_put(b) for b in batches]
+    jax.block_until_ready(chunks)
+    upload_only = time.time() - t0
+    cfg = S.SiftConfig()
+    t0 = time.time()
+    feats_probe = [_gray_extract(c, cfg) for c in chunks]
+    jax.block_until_ready(feats_probe)
+    extract_only = time.time() - t0
+    nbytes = sum(b.nbytes for b in batches)
+    stage_times["upload_only_s"] = round(upload_only, 2)
+    stage_times["extract_only_s"] = round(extract_only, 2)
+    stage_times["upload_bytes"] = nbytes
+    stage_times["link_MBps"] = round(nbytes / 1e6 / max(upload_only, 1e-9),
+                                     1)
+    del chunks, feats_probe
+
     # 3 timed reps, keep the median total: the relay link's bulk
     # bandwidth swings ~40 MB/s-1 GB/s between windows and the upload
     # stage soaks the weather
