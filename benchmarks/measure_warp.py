@@ -143,6 +143,47 @@ def bench_regime(name, regions, max_resolution, out):
                     "agreement_db": round(
                         masked_psnr(p_x, p_k, valid), 1),
                     "speedup_vs_gather": round(t_xla / t_kern, 2)})
+
+    if ok and row.get("n_levels", 1) > 1:
+        # forced-exact measurement: level-0 windows under raised caps.
+        # The one-hot sampling does O(window area) MXU work per output
+        # row, so this quantifies (rather than estimates) what exactness
+        # costs in the minified regime.
+        og_e, ok_e, wy_e, wx_e, _ = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], (h, w), ph, pw,
+            period=period, force_level0=True, max_win=(512, 1024))
+        erow = {"eligible": bool(ok_e), "win": [int(wy_e), int(wx_e)]}
+        if ok_e:
+            planar = jnp.moveaxis(imgs_rgba, -1, 1)
+            mips_e = PW.build_mips(planar, 1, wy_e, wx_e)
+            kargs_e = (jnp.asarray(projs, jnp.float32),
+                       jnp.asarray(bottoms, jnp.int32),
+                       jnp.asarray(resolution, jnp.float32),
+                       jnp.asarray(im_range[0], jnp.float32),
+                       jnp.asarray(og_e))
+
+            @jax.jit
+            def kern_sum_e(mips, projs_d, bottoms_d, res_d, rmin_d,
+                           origins_d):
+                p, m = PW.pallas_backward_warp(
+                    mips, projs_d, bottoms_d, res_d, rmin_d, origins_d,
+                    ph, pw, wy_e, wx_e, img_shape=(h, w), period=period)
+                return jnp.sum(p), jnp.sum(m)
+
+            t_e = time_fn(lambda: kern_sum_e(mips_e, *kargs_e)[0])
+            p_e, _ = PW.pallas_backward_warp(
+                mips_e, *kargs_e, ph, pw, wy_e, wx_e, img_shape=(h, w),
+                period=period)
+            p_x2, m_x2 = jax.jit(lambda *a: render.backward_warp_all(
+                *a, ph, pw, period=period))(*xargs)
+            erow.update({
+                "pallas_ms": round(t_e * 1e3, 1), "exact": True,
+                "agreement_db": round(
+                    masked_psnr(p_x2, p_e, ~np.asarray(m_x2)), 1),
+                "speedup_vs_gather": round(t_xla / t_e, 2)})
+        row["exact_forced"] = erow
+        print(json.dumps({name + "_exact_forced": erow}), flush=True)
+
     out[name] = row
     print(json.dumps({name: row}), flush=True)
 

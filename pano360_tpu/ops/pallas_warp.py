@@ -107,7 +107,9 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
                  resolution: np.ndarray, range_min: np.ndarray,
                  img_shape: Tuple[int, int], ph: int, pw: int,
                  period: "int | None" = None,
-                 cylindrical: bool = False):
+                 cylindrical: bool = False,
+                 force_level0: bool = False,
+                 max_win: "Tuple[int, int] | None" = None):
     """Per-tile source windows with mip-level selection (host, numpy).
 
     Returns ``(origins (N, nty, ntx, 3) int32 [y, x, level], eligible,
@@ -123,15 +125,22 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
     ``img_shape`` is the TRUE (h, w); windows are planned against each
     level's (8, 128)-aligned padded dims — the caller builds the matching
     pyramid with ``build_mips``.
+
+    ``force_level0``/``max_win``: measurement knobs (measure_warp.py) —
+    plan exact level-0 windows under raised caps so the one-hot
+    sampling's O(window-area) cost can be measured in the minified
+    regime instead of estimated. ``eligible`` is False if the exact
+    need exceeds ``max_win``.
     """
     h, w = img_shape
     n = projs.shape[0]
     nty = -(-ph // TILE_Y)
     ntx = -(-pw // TILE_X)
 
+    max_win_y, max_win_x = max_win if max_win else (MAX_WIN_Y, MAX_WIN_X)
     # max level-0 extent that still fits the caps after alignment slack
-    budget_y = MAX_WIN_Y - 2 * 8
-    budget_x = MAX_WIN_X - 2 * 128
+    budget_y = max_win_y - 2 * 8
+    budget_x = max_win_x - 2 * 128
 
     # project a coarse grid of tile-corner coordinates per region
     ys = np.arange(nty + 1) * TILE_Y
@@ -175,8 +184,10 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
                 y1 = float(np.ceil(cpy[cval].max()))
                 # coarsest-necessary mip level for this tile
                 lvl = 0
-                while ((y1 - y0) / (1 << lvl) + 2 * MARGIN > budget_y
-                       or (x1 - x0) / (1 << lvl) + 2 * MARGIN > budget_x):
+                while (not force_level0
+                       and ((y1 - y0) / (1 << lvl) + 2 * MARGIN > budget_y
+                            or ((x1 - x0) / (1 << lvl) + 2 * MARGIN
+                                > budget_x))):
                     lvl += 1
                 max_lvl = max(max_lvl, lvl)
                 sy0 = np.floor((y0 + 0.5) / (1 << lvl) - 0.5) - MARGIN
@@ -199,7 +210,7 @@ def plan_windows(projs: np.ndarray, bottoms: np.ndarray,
     _, (hp0, wp0) = _level_dims((h, w), 0)
     win_y = min(round_up(need_y, 8) + 8, hp0)
     win_x = min(round_up(need_x, 128) + 128, wp0)
-    ok = win_y <= MAX_WIN_Y and win_x <= MAX_WIN_X
+    ok = win_y <= max_win_y and win_x <= max_win_x
     for k, i, j, y0, x0, lvl in exts:
         _, (hpl, wpl) = _level_dims((h, w), lvl)
         max_oy = max(hpl - win_y, 0)
@@ -392,6 +403,11 @@ def pallas_backward_warp(mips, projs, bottoms, resolution, range_min,
             jax.ShapeDtypeStruct((n, 4, php, pwp), jnp.float32),
             jax.ShapeDtypeStruct((n, php, pwp), jnp.bool_),
         ],
+        # production windows need ~2 MB of scoped VMEM; the raised limit
+        # only matters for the forced-exact measurement windows
+        # (plan_windows(force_level0=True), up to (4, 512, 1024) f32)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(origins,
       projs.astype(jnp.float32),
