@@ -1150,14 +1150,20 @@ def stitch(regions: List[PanoImage], blender: str = "multiband",
             projs, bottoms, resolution, im_range[0], (h, w), ph, pw,
             period=wrap_period, cylindrical=cyl)
         # Auto policy: the kernel runs whenever it is EXACT, i.e. all
-        # level-0 windows fit (n_levels == 1) — measured 2.26x the XLA
-        # gather there (62 vs 140 ms, 120 dB agreement; WARP.json).
-        # Under heavy minification it stays eligible through mip levels
-        # and still measures slightly faster (157 vs 184 ms at the
-        # capped bench scene), but mip sampling is a better-filtered
-        # approximation (40 dB vs raw bilinear), not the reference's
-        # semantics — auto mode keeps exact parity; pass use_pallas=True
-        # to force the anti-aliased mip kernel.
+        # level-0 windows fit the default caps (n_levels == 1) —
+        # measured 2.0x the XLA gather there (66 vs 132 ms, 120 dB;
+        # WARP.json fullres). In the minified (MAX_RESOLUTION-capped)
+        # regime the gather stays: a forced exact level-0 plan under
+        # raised caps ((200, 640) windows at the capped bench scene)
+        # measures 54.0 ms vs the gather's 55.7 — parity, not a win
+        # (WARP.json capped_1400.exact_forced) — and its MXU-rounded
+        # sampling agrees with the gather only to ~90 dB per patch
+        # (~55 dB after uint8 blending: ±1 flips on ~20% of pixels),
+        # which would erode the 73 dB render-parity-vs-reference cell
+        # for a noise-level speed delta. The anti-aliased mip path
+        # (33 ms, 1.69x, 39 dB vs raw bilinear) remains the
+        # use_pallas=True opt-in — a better-filtered image but not the
+        # reference's sampling semantics.
         if ok and (n_levels == 1 or use_pallas is True):
             imgs_rgba = add_weights(dev_imgs, shapes_dev)
             if gains is not None:
