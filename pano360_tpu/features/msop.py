@@ -177,6 +177,37 @@ def _msop_level_batch(gray: jnp.ndarray, cap: int):
     return jax.vmap(lambda g: _msop_level(g, cap))(gray)
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def _pack_candidates(vals: jnp.ndarray, rows: jnp.ndarray,
+                     cols: jnp.ndarray, w: int):
+    """Candidate readback payload: flat codes (row*w+col, -1 when the
+    top-k slot is unfilled) + per-image valid counts. One int32 array
+    per level instead of four f32/int32 ones — the host only needs
+    coordinates for SSC; scores are implicit in the top-k order and
+    orientations stay on device for the descriptor gather."""
+    finite = jnp.isfinite(vals)
+    codes = jnp.where(finite, rows * w + cols, -1).astype(jnp.int32)
+    return codes, jnp.sum(finite, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def _level_descriptors_device(blurred: jnp.ndarray, rows: jnp.ndarray,
+                              cols: jnp.ndarray, theta: jnp.ndarray,
+                              idx: jnp.ndarray, kcounts: jnp.ndarray,
+                              scale: jnp.ndarray):
+    """Gather the SSC-selected candidates ON DEVICE and compute their
+    descriptors — the selected rows/cols/theta and the (n, cap, 64)
+    descriptor block never cross the host link."""
+    r = jnp.take_along_axis(rows, idx, axis=1)
+    c = jnp.take_along_axis(cols, idx, axis=1)
+    t = jnp.take_along_axis(theta, idx, axis=1)
+    desc = jax.vmap(_oriented_descriptors)(blurred, r, c, t)
+    kp = jnp.stack([c.astype(jnp.float32) * scale,
+                    r.astype(jnp.float32) * scale], axis=-1)
+    valid = jnp.arange(idx.shape[1])[None, :] < kcounts[:, None]
+    return kp, desc, valid
+
+
 _oriented_descriptors_batch = jax.jit(jax.vmap(_oriented_descriptors))
 
 
@@ -316,6 +347,97 @@ def msop_extract_batch(imgs_bgr: Sequence[np.ndarray],
     return out
 
 
+def msop_extract_device(imgs_bgr: Sequence[np.ndarray],
+                        max_feat: Sequence[int] = MAX_FEAT):
+    """Device-resident MSOP extraction for the matching fast path.
+
+    ``msop_extract_batch`` pays two host round trips the matcher does
+    not need: the (n, cap)-sized candidate readback (4 arrays x 4
+    levels = 16 sequential pulls) and the descriptor pull, which
+    ``pipeline.matching`` immediately re-uploads. profile_msop.py
+    measured those at 0.48 s + 0.32 s of the 0.87 s total on the
+    CONFIGS scene (compute: 0.03 s). Here the candidate readback is ONE
+    packed int32 pull (flat codes + per-image counts; orientations stay
+    on device), SSC runs on the host coordinates as before
+    (features.py:28-99 semantics), and the selected candidates are
+    gathered + described on device, so keypoint/descriptor buffers are
+    returned device-resident in the level-major order the host keypoint
+    list uses.
+
+    Returns ``(kpts_host, kp_dev (n, C, 2), ds_dev (n, C, 64),
+    va_dev (n, C), counts (n,) int32)`` where ``kpts_host`` is the
+    per-image full-res (x, y) float32 list (level-major, SSC order —
+    the same order the device buffers hold their valid rows in, so
+    match indices index it directly after valid-first compaction).
+    """
+    n = len(imgs_bgr)
+    cur = _msop_gray(jnp.asarray(np.stack(imgs_bgr)))
+    levels, packs, counts_l = [], [], []
+    for maxf in max_feat:
+        vals, rows, cols, theta, blurred, nxt = _msop_level_batch(
+            cur, maxf * 20)
+        codes, cnt = _pack_candidates(vals, rows, cols, w=cur.shape[2])
+        levels.append((rows, cols, theta, blurred, cur.shape[1:]))
+        packs.append(codes)
+        counts_l.append(cnt)
+        cur = nxt
+    # ONE pull for every level's codes AND counts (each np.asarray is a
+    # full relay round trip)
+    packed = np.asarray(jnp.concatenate(
+        packs + [jnp.stack(counts_l, axis=1)], axis=1))
+    counts_np = packed[:, -len(max_feat):]
+
+    kp_parts, ds_parts, va_parts = [], [], []
+    kpts_host = [[] for _ in range(n)]
+    total = np.zeros(n, np.int32)
+    off = 0
+    for lvl, (maxf, (rows_d, cols_d, theta_d, blurred, hw)) in \
+            enumerate(zip(max_feat, levels)):
+        h, w = hw
+        cap_l = packs[lvl].shape[1]
+        codes = packed[:, off:off + cap_l]
+        off += cap_l
+        scale = 2.0 ** lvl
+        sels = []
+        for i in range(n):
+            k = int(counts_np[i, lvl])
+            cs = codes[i, :k]
+            cc = (cs % w).astype(np.float32)
+            rr = (cs // w).astype(np.float32)
+            sel = ssc(np.stack([cc, rr], axis=1), (w, h), maxf)
+            sels.append(np.asarray(sel, np.int32))
+            kpts_host[i].append(np.stack(
+                [cc[sel] * scale, rr[sel] * scale], axis=1
+            ).astype(np.float32))
+        top = max((len(s) for s in sels), default=0)
+        if top == 0:
+            continue
+        capd = max(64, 1 << (top - 1).bit_length())
+        idx_b = np.zeros((n, capd), np.int32)
+        kcnt = np.zeros(n, np.int32)
+        for i in range(n):
+            idx_b[i, :len(sels[i])] = sels[i]
+            kcnt[i] = len(sels[i])
+        kp, desc, valid = _level_descriptors_device(
+            blurred, rows_d, cols_d, theta_d, jnp.asarray(idx_b),
+            jnp.asarray(kcnt), jnp.float32(scale))
+        kp_parts.append(kp)
+        ds_parts.append(desc)
+        va_parts.append(valid)
+        total += kcnt
+
+    kpts_out = [np.concatenate(kpts_host[i]) if kpts_host[i]
+                else np.zeros((0, 2), np.float32) for i in range(n)]
+    if not kp_parts:
+        z = jnp.zeros((n, 64, 2), jnp.float32)
+        return (kpts_out, z, jnp.zeros((n, 64, 64), jnp.float32),
+                jnp.zeros((n, 64), bool), total)
+    return (kpts_out,
+            jnp.concatenate(kp_parts, axis=1),
+            jnp.concatenate(ds_parts, axis=1),
+            jnp.concatenate(va_parts, axis=1), total)
+
+
 def msop_extract_host(img_bgr: np.ndarray,
                       max_feat: Sequence[int] = MAX_FEAT):
     """Extract MSOP keypoints + 64-d descriptors for one image.
@@ -327,4 +449,4 @@ def msop_extract_host(img_bgr: np.ndarray,
 
 
 __all__ = ["DSIZE", "MAX_FEAT", "ssc", "msop_extract_host",
-           "msop_extract_batch"]
+           "msop_extract_batch", "msop_extract_device"]

@@ -319,15 +319,33 @@ def matching(imgs: List[np.ndarray], detector: str = "sift",
     start = time.time()
 
     if detector == "msop":
-        kpts, descs = detect_all(imgs, detector, max_kpts, mesh=mesh)
+        if mesh is None and len(_shape_buckets(imgs)) == 1:
+            # device-resident fast path: descriptors never cross the
+            # host link (msop_extract_device docstring has the numbers)
+            from pano360_tpu.features.msop import msop_extract_device
+            kpts_full, kp_dev, ds_dev, va_dev, counts = \
+                msop_extract_device(imgs)
+            h0, w0 = imgs[0].shape[:2]
+            cent = np.array([w0 / 2, h0 / 2], np.float32)
+            kpts_host = [k - cent for k in kpts_full]
+            # valid-first compaction aligns the device rows with the
+            # level-major host keypoint list (match indices index it)
+            cmax = int(counts.max()) if len(counts) else 0
+            cap = min(max(64, 1 << max(cmax - 1, 0).bit_length()),
+                      int(kp_dev.shape[1]))
+            kp_buf, ds_buf, va_buf = _compact_buffers_dev(
+                kp_dev - jnp.asarray(cent), ds_dev, va_dev,
+                jnp.asarray(counts), cap)
+        else:
+            kpts, descs = detect_all(imgs, detector, max_kpts, mesh=mesh)
+            cap = max((len(k) for k in kpts), default=1)
+            cap = max(1 << (cap - 1).bit_length(), 64)
+            kp_buf = jnp.asarray(np.stack([_pad(k, cap) for k in kpts]))
+            ds_buf = jnp.asarray(np.stack([_pad(d, cap) for d in descs]))
+            va_buf = jnp.asarray(np.stack([np.arange(cap) < len(k)
+                                           for k in kpts]))
+            kpts_host = kpts
         LOG.info("Extracted keypoints, time: %s", time.time() - start)
-        cap = max((len(k) for k in kpts), default=1)
-        cap = max(1 << (cap - 1).bit_length(), 64)
-        kp_buf = jnp.asarray(np.stack([_pad(k, cap) for k in kpts]))
-        ds_buf = jnp.asarray(np.stack([_pad(d, cap) for d in descs]))
-        va_buf = jnp.asarray(np.stack([np.arange(cap) < len(k)
-                                       for k in kpts]))
-        kpts_host = kpts
         remap = None
         kv_dev = None
     else:

@@ -6,6 +6,7 @@ pytestmark = pytest.mark.slow  # compile-heavy; fast subset: -m 'not slow'
 
 from pano360_tpu import synth
 from pano360_tpu.features.msop import (msop_extract_batch,
+                                       msop_extract_device,
                                        msop_extract_host, ssc)
 from pano360_tpu.cli import build_parser, run
 
@@ -31,6 +32,27 @@ class TestMsop:
             ks, ds = msop_extract_host(im)
             np.testing.assert_allclose(kb, ks, atol=1e-4)
             np.testing.assert_allclose(db, ds, atol=1e-4)
+
+    def test_device_path_matches_host_path(self):
+        """The device-resident extraction (packed candidate readback +
+        on-device gather/describe, used by pipeline.matching) must
+        reproduce the host path's keypoints and descriptors exactly,
+        in the same level-major order, with the device buffers' valid
+        rows equal to the host list."""
+        imgs, _, _ = synth.make_views(n_views=3, shape=(160, 200), seed=7)
+        imgs = [(im * 255).astype(np.uint8) for im in imgs]
+        host = msop_extract_batch(imgs)
+        kpts_dev, kp_d, ds_d, va_d, counts = msop_extract_device(imgs)
+        kp_d, ds_d, va_d = (np.asarray(kp_d), np.asarray(ds_d),
+                            np.asarray(va_d))
+        for i, (kh, dh) in enumerate(host):
+            assert counts[i] == len(kh)
+            np.testing.assert_allclose(kpts_dev[i], kh, atol=1e-4)
+            # device buffers: the valid rows hold the same keypoints/
+            # descriptors in the same order (holes between level blocks
+            # are masked out)
+            np.testing.assert_allclose(kp_d[i][va_d[i]], kh, atol=1e-4)
+            np.testing.assert_allclose(ds_d[i][va_d[i]], dh, atol=1e-4)
 
     def test_registration_against_ground_truth(self):
         """Absolute-fidelity check, independent of the batch/single code
