@@ -126,6 +126,13 @@ def main():
         cv2.imwrite(os.path.join(ROOT, "benchmarks",
                                  "mosaic_highres4000.png"),
                     mosaics["auto"])
+    results["note"] = (
+        "cold_s = first run in a fresh process at never-before-compiled "
+        "shapes: it is dominated by XLA/Mosaic compiles through the "
+        "remote-compile tunnel (30-120 s per program, window-dependent) "
+        "and amortizes to ~steady_s via the persistent compilation "
+        "cache once a deployment has seen the shape; steady_s is the "
+        "second run with stage caches dropped (programs cached)")
     with open(os.path.join(ROOT, "benchmarks", "CONFIGS.json"), "w") as fid:
         json.dump(results, fid, indent=2)
 
