@@ -190,6 +190,36 @@ class TestPallasWarp:
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr > 25, psnr
 
+    def test_minification_forced_exact_level0(self):
+        """The measurement knob plan_windows(force_level0=True, max_win)
+        must produce an all-level-0 plan whose kernel output matches the
+        XLA gather EXACTLY (to f32 interpret-mode rounding) even where
+        the default plan would have gone to mip levels — the basis of
+        WARP.json's capped_1400.exact_forced cell."""
+        rgba, projs, bottoms, resolution, im_range, hw, ph, pw = _setup(
+            shape=(300, 700), max_resolution=120)
+        args = (jnp.asarray(projs, jnp.float32),
+                jnp.asarray(bottoms, jnp.int32),
+                jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(im_range[0], jnp.float32))
+        _, _, _, _, nl_def = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw)
+        assert nl_def > 1, "scene must default to mip levels"
+        origins, ok, wy, wx, nl = PW.plan_windows(
+            projs, bottoms, resolution, im_range[0], hw, ph, pw,
+            force_level0=True, max_win=(512, 1024))
+        assert ok and nl == 1
+        assert (np.asarray(origins)[..., 2] == 0).all()
+        px, ix = render.backward_warp_all(rgba, *args, ph, pw)
+        mips = PW.build_mips(jnp.moveaxis(rgba, -1, 1), 1, wy, wx)
+        pp, ip = PW.pallas_backward_warp(
+            mips, *args, jnp.asarray(origins), ph, pw, wy, wx,
+            img_shape=hw, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
+        val = ~np.asarray(ix)
+        diff = np.abs(np.asarray(px)[val] - np.asarray(pp)[val])
+        assert diff.max() < 1e-4, diff.max()
+
     def test_matches_xla_path_periodic(self):
         """Periodic (wrap-around) canvas: a window crossing the seam must
         sample fold columns at their final column's azimuth, matching the
