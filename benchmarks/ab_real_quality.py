@@ -16,7 +16,9 @@ registration errors + vs-GT mosaic PSNR per cell. Run:
 Optional argv override the swept values (comma lists):
     python benchmarks/ab_real_quality.py float32 approx incremental,pallas
 sweeps gauss_mode at the production patch_dtype/cand_topk (the gate
-used before flipping the fused Pallas octave kernel default).
+used before flipping the fused Pallas octave kernel default), and a
+4th argv sweeps descr_mode (grid vs cv2-exact dense):
+    python benchmarks/ab_real_quality.py float32 exact pallas grid,dense
 """
 import json
 import os
@@ -59,12 +61,14 @@ def main():
              else ("approx", "exact"))
     gmodes = (sys.argv[3].split(",") if len(sys.argv) > 3
               else ("incremental",))
+    dmodes = (sys.argv[4].split(",") if len(sys.argv) > 4
+              else ("grid",))
     out = {}
     for patch_dtype in dtypes:
         for cand in cands:
-            for gmode in gmodes:
+            for gmode, dmode in [(g, dm) for g in gmodes for dm in dmodes]:
                 cfg = S.SiftConfig(patch_dtype=patch_dtype, cand_topk=cand,
-                                   gauss_mode=gmode)
+                                   gauss_mode=gmode, descr_mode=dmode)
                 feats = pl._gray_extract(dev, cfg)
                 kpts, matches = matching(imgs, seed=0, dev_images=dev,
                                          feats=feats)
@@ -81,6 +85,8 @@ def main():
                 key = f"{patch_dtype}/{cand}"
                 if len(gmodes) > 1 or gmode != "incremental":
                     key += f"/{gmode}"
+                if len(dmodes) > 1 or dmode != "grid":
+                    key += f"/{dmode}"
                 out[key] = {"placed": len(regs), "vs_gt_db": round(p, 2),
                             **errs}
                 print(key, json.dumps(out[key]), flush=True)

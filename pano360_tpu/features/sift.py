@@ -18,10 +18,14 @@ Algorithmic parity follows OpenCV's SIFT (Lowe 2004):
 - orientation: 36-bin gradient histogram over an exact integer-pixel window
   of radius round(4.5 sigma), Gaussian-weighted, 5-tap smoothed, up to 2
   peaks >= 0.8*max (cv2-style duplication);
-- descriptor: 4x4x8 trilinear binning over a rotated 16x16 sample grid
-  (sigma-scaled; the one deliberate deviation from cv2's dense integer
-  window -- standard for vectorized SIFT, parity is judged downstream on
-  match graphs / mosaics per SURVEY.md §7 hard part #1);
+- descriptor: 4x4x8 trilinear binning, two modes (``descr_mode``):
+  ``grid`` samples a rotated 16x16 grid with bilinear interpolation
+  (sigma-scaled; the standard vectorized-SIFT deviation from cv2), and
+  ``dense`` reproduces cv2's exact semantics -- every integer pixel in
+  the rotated window around the ROUNDED keypoint center contributes its
+  own central-difference gradient, masked by the (-1, d) bin bounds
+  (sift.cpp calcSIFTDescriptor; parity is judged downstream on match
+  graphs / mosaics per SURVEY.md §7 hard part #1);
 - RootSIFT normalization (features.py:198) is applied by the caller.
 
 Keypoint coordinates are returned in original-image pixels.
@@ -107,6 +111,26 @@ class SiftConfig:
     # weak candidates
     cand_recall: float = float(os.environ.get("PANO_SIFT_CAND_RECALL",
                                               "0.95"))
+    # descriptor sampling: "grid" = rotated 16x16 bilinear sample grid
+    # (two one-hot GEMMs per keypoint, the round-1..4 default), "dense"
+    # = cv2's exact integer-window semantics: every pixel of the
+    # (2*40)^2 gradient patch contributes its own exact gradient,
+    # masked by the rotated (-1, d) bin bounds around the ROUNDED
+    # center (sift.cpp calcSIFTDescriptor). Dense needs no sampling
+    # GEMMs at all but bins 25x more samples per keypoint.
+    descr_mode: str = os.environ.get("PANO_SIFT_DESCR", "grid")
+
+    @property
+    def patch_half(self) -> int:
+        """Half-extent of the per-keypoint patch for the current mode.
+
+        grid: 32 (see the _PATCH_HALF derivation). dense: cv2's window
+        radius is hist_width*sqrt(2)*(d+1)/2 = 38.1 px at the max
+        octave-relative sigma 3.592, and the (-1, d) bin mask keeps
+        pixels up to 2.5*sqrt(2)*hist_width = 38.1 px from the rounded
+        center; half = 40 covers it (gradient interior reach 39).
+        """
+        return _PATCH_HALF if self.descr_mode == "grid" else 40
 
     @property
     def dim(self) -> int:
@@ -702,12 +726,31 @@ def _descriptor_from_patch(gx_patch, gy_patch, yf, xf, cy, cx, sig_oct,
     rbin = (gv + d / 2 - 0.5).reshape(-1)
     cbin = (gu + d / 2 - 0.5).reshape(-1)
     obin = (ori * (nob / (2 * jnp.pi))).reshape(-1)
+    val = (mag * wgt).reshape(-1)
+    acc = _trilinear_hist(rbin, cbin, obin, val, d, nob)
+
+    # normalize, clip, renormalize (cv2)
+    nrm = jnp.sqrt(jnp.sum(acc * acc))
+    acc = jnp.minimum(acc, cfg.descr_mag_thresh * jnp.maximum(nrm, 1e-12))
+    nrm2 = jnp.sqrt(jnp.sum(acc * acc))
+    return acc / jnp.maximum(nrm2, 1e-12)
+
+
+def _trilinear_hist(rbin, cbin, obin, val, d, nob, dtype=jnp.float32):
+    """(d*d*nob,) trilinear histogram from flat sample bin coords.
+
+    The shared binning backend of both descriptor modes: instead of 8
+    scatter-adds per sample (scatters serialize on TPU) the trilinear
+    weights factorize into per-axis 2-entry one-hots and the histogram
+    is one einsum contraction over the samples — pure MXU/VPU work.
+    Row/col bins live in a (d+2) padded frame cropped at the end; the
+    orientation axis wraps (cv2's hist layout, sift.cpp).
+    """
     r0 = jnp.floor(rbin).astype(jnp.int32)
     c0 = jnp.floor(cbin).astype(jnp.int32)
     o0 = jnp.floor(obin).astype(jnp.int32)
     fr, fc, fo = rbin - r0, cbin - c0, obin - o0
     o0 = o0 % nob
-    val = (mag * wgt).reshape(-1)
 
     def axis_onehot(i0, frac, n, wrap):
         ii = jnp.arange(n)[None, :]
@@ -718,18 +761,72 @@ def _descriptor_from_patch(gx_patch, gy_patch, yf, xf, cy, cx, sig_oct,
         else:
             a = jnp.clip(a, 0, n - 1)
             b = jnp.clip(b, 0, n - 1)
-        return ((ii == a) * (1 - frac[:, None])
-                + (ii == b) * frac[:, None])
+        return (((ii == a) * (1 - frac[:, None])
+                 + (ii == b) * frac[:, None])).astype(dtype)
 
-    oh_r = axis_onehot(r0 + 1, fr, d + 2, wrap=False)   # (P^2, d+2)
+    oh_r = axis_onehot(r0 + 1, fr, d + 2, wrap=False)   # (S, d+2)
     oh_c = axis_onehot(c0 + 1, fc, d + 2, wrap=False)
-    oh_o = axis_onehot(o0, fo, nob, wrap=True)          # (P^2, nob)
+    oh_o = axis_onehot(o0, fo, nob, wrap=True)          # (S, nob)
 
-    tmp = jnp.einsum("sr,so->sro", oh_r * val[:, None], oh_o)
+    tmp = jnp.einsum("sr,so->sro", oh_r * val[:, None].astype(dtype), oh_o)
     acc = jnp.einsum("sro,sc->rco", tmp, oh_c)          # [row][col][ori]
-    acc = acc[1:-1, 1:-1].reshape(-1)
+    return acc[1:-1, 1:-1].reshape(-1)
 
-    # normalize, clip, renormalize (cv2)
+
+def _descriptor_from_patch_dense(gx_patch, gy_patch, yf, xf, cy, cx,
+                                 sig_oct, angle, h, w, cfg: SiftConfig):
+    """cv2-exact dense integer-window 128-d descriptor.
+
+    Reproduces OpenCV's calcSIFTDescriptor semantics (the path the
+    reference runs via ``cv2.xfeatures2d.SIFT``, features.py:192-201):
+    every integer pixel (i, j) around the ROUNDED keypoint center whose
+    rotated bin coordinates fall in (-1, d) contributes its own exact
+    central-difference gradient with weight exp(-(c_rot^2 + r_rot^2)
+    / (0.5 d^2)). No sampling interpolation at all — the per-keypoint
+    gradient patch IS the window; out-of-window pixels are masked.
+    On TPU this is a masked einsum over the psg^2 patch pixels
+    (psg = 80 covers cv2's max window radius 38.1, see
+    SiftConfig.patch_half).
+    """
+    psg = gx_patch.shape[0]
+    d = cfg.descr_width
+    nob = cfg.descr_ori_bins
+
+    # integer pixel offsets from the ROUNDED center (cv2: Point pt =
+    # cvRound(ptf); i, j in [-radius, radius])
+    yr = jnp.round(yf)
+    xr = jnp.round(xf)
+    ay = (cy + 1 + jnp.arange(psg, dtype=jnp.int32))[:, None]  # abs rows
+    ax = (cx + 1 + jnp.arange(psg, dtype=jnp.int32))[None, :]
+    di = (ay - yr).astype(jnp.float32)                 # row offset i
+    dj = (ax - xr).astype(jnp.float32)                 # col offset j
+
+    hist_width = 3.0 * sig_oct                         # SIFT_DESCR_SCL_FCTR
+    cosw = jnp.cos(angle) / hist_width
+    sinw = jnp.sin(angle) / hist_width
+    c_rot = dj * cosw - di * sinw
+    r_rot = dj * sinw + di * cosw
+    rbin = (r_rot + d / 2 - 0.5).reshape(-1)
+    cbin = (c_rot + d / 2 - 0.5).reshape(-1)
+
+    # cv2 masks: rotated bins strictly inside (-1, d) AND the gradient
+    # footprint inside the image (0 < r < rows-1, 0 < c < cols-1)
+    inb = ((ay >= 1) & (ay <= h - 2) & (ax >= 1) & (ax <= w - 2))
+    valid = ((rbin > -1) & (rbin < d) & (cbin > -1) & (cbin < d)
+             & inb.reshape(-1))
+
+    gx = gx_patch.astype(jnp.float32)
+    gy = gy_patch.astype(jnp.float32)
+    mag = jnp.sqrt(gx * gx + gy * gy).reshape(-1)
+    ori = jnp.mod(jnp.arctan2(gy, gx) - angle, 2 * jnp.pi).reshape(-1)
+    obin = ori * (nob / (2 * jnp.pi))
+
+    wgt = jnp.exp((c_rot * c_rot + r_rot * r_rot)
+                  * (-1.0 / (d * d * 0.5))).reshape(-1)
+    val = mag * wgt * valid
+
+    acc = _trilinear_hist(rbin, cbin, obin, val, d, nob)
+
     nrm = jnp.sqrt(jnp.sum(acc * acc))
     acc = jnp.minimum(acc, cfg.descr_mag_thresh * jnp.maximum(nrm, 1e-12))
     nrm2 = jnp.sqrt(jnp.sum(acc * acc))
@@ -845,7 +942,7 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
         yf = y.astype(jnp.float32) + offs[..., 1]
 
         oh, ow = gauss.shape[2], gauss.shape[3]
-        ps = min(2 * _PATCH_HALF + 2, oh, ow)
+        ps = min(2 * cfg.patch_half + 2, oh, ow)
         patch_fn = jax.vmap(jax.vmap(
             lambda g, a, b, c: _extract_patch(g, a, b, c, ps),
             in_axes=(None, 0, 0, 0)), in_axes=(0, 0, 0, 0))
@@ -855,7 +952,7 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
         # orientation/descriptor stage compiles ONCE for all octaves —
         # zero-padded gradients contribute zero magnitude, so no masking
         # beyond the existing absolute-coordinate checks is needed
-        psg = 2 * _PATCH_HALF
+        psg = 2 * cfg.patch_half
         pad = psg - gxp.shape[-1]
         if pad:
             pw_ = [(0, 0), (0, 0), (0, pad), (0, pad)]
@@ -892,8 +989,10 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
     # fixed-size chunks with lax.map: bounds the one-hot sampling-matrix
     # transients (a single vmap materializes ~2.5 KB * samples * n_ori per
     # candidate — tens of GB at 15-image batch) and compiles the heavy
-    # body exactly once regardless of batch or octave count.
-    chunk = 2048
+    # body exactly once regardless of batch or octave count. Dense mode
+    # bins psg^2 = 6400 samples per keypoint (25x the grid's 256), so
+    # its chunk is smaller to keep the einsum transients bounded.
+    chunk = 2048 if cfg.descr_mode == "grid" else 256
     m = n * total
     n_chunks = -(-m // chunk)
     padded = n_chunks * chunk
@@ -914,10 +1013,11 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
             c["sig"], c["oh"], c["ow"])                # (chunk, 36)
         angles, avalid = jax.vmap(
             lambda hh: _peak_angles(hh, cfg))(hists)   # (chunk, n_ori)
+        descr_fn = (_descriptor_from_patch if cfg.descr_mode == "grid"
+                    else _descriptor_from_patch_dense)
         descs = jax.vmap(jax.vmap(
             lambda a, b, cc, dd, e, f, sg, an, hh, ww:
-                _descriptor_from_patch(a, b, cc, dd, e, f, sg, an, hh, ww,
-                                       cfg),
+                descr_fn(a, b, cc, dd, e, f, sg, an, hh, ww, cfg),
             in_axes=(None, None, None, None, None, None, None, 0, None,
                      None)),
             in_axes=(0,) * 10)(

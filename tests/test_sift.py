@@ -274,3 +274,94 @@ class TestDownstreamParity:
         assert int(ours.n_inliers) >= 0.7 * int(cvres.n_inliers), (
             f"ours {int(ours.n_inliers)} vs cv2-desc {int(cvres.n_inliers)}")
 
+
+
+class TestDenseDescriptor:
+    """descr_mode='dense' reproduces cv2's calcSIFTDescriptor exactly:
+    every integer pixel in the rotated window around the ROUNDED center
+    contributes its own central-difference gradient (no sampling
+    interpolation). Pinned against a literal NumPy loop of the cv2
+    semantics (sift.cpp; the reference runs it via features.py:192-201).
+    """
+
+    @staticmethod
+    def _cv2_descriptor_loop(img, yf, xf, sig_oct, angle, d=4, nob=8):
+        """Literal cv2 calcSIFTDescriptor in NumPy (float64 loop)."""
+        h, w = img.shape
+        pt_y, pt_x = int(round(yf)), int(round(xf))
+        hist_width = 3.0 * sig_oct
+        radius = int(round(hist_width * np.sqrt(2) * (d + 1) * 0.5))
+        cos_t = np.cos(angle) / hist_width
+        sin_t = np.sin(angle) / hist_width
+        hist = np.zeros((d + 2, d + 2, nob))
+        for i in range(-radius, radius + 1):
+            for j in range(-radius, radius + 1):
+                c_rot = j * cos_t - i * sin_t
+                r_rot = j * sin_t + i * cos_t
+                rbin = r_rot + d / 2 - 0.5
+                cbin = c_rot + d / 2 - 0.5
+                r, c = pt_y + i, pt_x + j
+                if not (-1 < rbin < d and -1 < cbin < d
+                        and 0 < r < h - 1 and 0 < c < w - 1):
+                    continue
+                dx = float(img[r, c + 1]) - float(img[r, c - 1])
+                dy = float(img[r - 1, c]) - float(img[r + 1, c])
+                mag = np.hypot(dx, dy)
+                ori = np.mod(np.arctan2(dy, dx) - angle, 2 * np.pi)
+                wgt = np.exp((c_rot ** 2 + r_rot ** 2) * (-1 / (d * d * 0.5)))
+                obin = ori * (nob / (2 * np.pi))
+                r0 = int(np.floor(rbin))
+                c0 = int(np.floor(cbin))
+                o0 = int(np.floor(obin))
+                fr, fc, fo = rbin - r0, cbin - c0, obin - o0
+                v = mag * wgt
+                for dr, wr in ((0, 1 - fr), (1, fr)):
+                    for dc, wc in ((0, 1 - fc), (1, fc)):
+                        for do, wo in ((0, 1 - fo), (1, fo)):
+                            hist[r0 + 1 + dr, c0 + 1 + dc,
+                                 (o0 + do) % nob] += v * wr * wc * wo
+        acc = hist[1:-1, 1:-1].reshape(-1)
+        nrm = np.sqrt((acc ** 2).sum())
+        acc = np.minimum(acc, 0.2 * max(nrm, 1e-12))
+        nrm2 = np.sqrt((acc ** 2).sum())
+        return acc / max(nrm2, 1e-12)
+
+    def test_matches_cv2_loop(self):
+        rng = np.random.default_rng(7)
+        img = rng.random((160, 200), np.float32)
+        img = np.asarray(cv2.GaussianBlur(img, (0, 0), 2.0))
+        cfg = dataclasses.replace(CFG, descr_mode="dense")
+        ps = 2 * cfg.patch_half + 2
+        cases = [  # (yf, xf, sig_oct, angle)
+            (80.3, 100.6, 1.9, 0.7),
+            (79.9, 99.2, 3.55, -2.1),   # max-sigma window, 38-px reach
+            (45.4, 60.8, 2.6, 2.9),
+            (41.0, 161.5, 3.2, 0.0),    # near the window-truncation edge
+        ]
+        for yf, xf, sig, ang in cases:
+            patch, cy, cx = S._extract_patch(
+                jnp.asarray(img)[None], jnp.int32(0),
+                jnp.int32(round(yf)), jnp.int32(round(xf)), ps)
+            gx, gy = S._patch_grads(patch)
+            got = np.asarray(S._descriptor_from_patch_dense(
+                gx, gy, jnp.float32(yf), jnp.float32(xf), cy, cx,
+                jnp.float32(sig), jnp.float32(ang),
+                img.shape[0], img.shape[1], cfg))
+            want = self._cv2_descriptor_loop(img, yf, xf, sig, ang)
+            npt.assert_allclose(got, want, atol=2e-5,
+                                err_msg=f"kp {(yf, xf, sig, ang)}")
+
+    def test_end_to_end_positions_match_grid(self, pair, feats):
+        """Descriptor mode must not move keypoints: xy/size/angle/valid
+        identical to the grid default; descriptors unit-norm."""
+        _, _, grays, _, _ = pair
+        dense = S.sift_extract(jnp.asarray(grays),
+                               dataclasses.replace(CFG, descr_mode="dense"))
+        npt.assert_array_equal(np.asarray(dense.valid),
+                               np.asarray(feats.valid))
+        npt.assert_array_equal(np.asarray(dense.xy), np.asarray(feats.xy))
+        npt.assert_array_equal(np.asarray(dense.angle),
+                               np.asarray(feats.angle))
+        v = np.asarray(dense.valid)
+        nrm = np.linalg.norm(np.asarray(dense.desc)[v], axis=1)
+        npt.assert_allclose(nrm, 1.0, atol=1e-4)
