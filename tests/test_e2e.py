@@ -129,6 +129,43 @@ class TestEndToEnd:
         inner = mosaic[h // 4: -h // 4, w // 4: -w // 4]
         assert (inner.sum(-1) > 0).mean() > 0.95
 
+    def test_mesh_flag_cli_parity(self, dataset, tmp_path):
+        """--mesh 2 through the CLI (cli.py mesh wiring: device gate,
+        make_mesh, mesh handed to every stage) reproduces the
+        single-device mosaic. Fresh cache dir so the mesh run computes
+        matching/traverse/stitch itself instead of consuming caches."""
+        ds, root, *_ = dataset
+        base = build_parser().parse_args(
+            [ds, "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", root])
+        m_s = run(base)
+        args = build_parser().parse_args(
+            [ds, "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", str(tmp_path), "--mesh", "2"])
+        m_m = run(args)
+        assert m_m.shape == m_s.shape
+        d = m_m.astype(np.float64) - m_s.astype(np.float64)
+        mse = float(np.mean(d * d))
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+        assert psnr >= 50.0, f"--mesh mosaic diverged: {psnr:.1f} dB"
+
+    def test_flag_combo_equalize_crop_warp_maxres(self, dataset):
+        """CLI wiring for -e, -c, --seed, --warp and --max-resolution in
+        one run (reference flags stitcher.py:390-410 + our extensions):
+        reuses the fixture caches, so only the render stage recomputes."""
+        ds, root, *_ = dataset
+        args = build_parser().parse_args(
+            [ds, "-s", "1", "--ba", "incr", "-b", "linear",
+             "--cache-dir", root, "-e", "-c", "--seed", "5",
+             "--warp", "xla", "--max-resolution", "500"])
+        mosaic = run(args)
+        assert mosaic.dtype == np.uint8 and mosaic.ndim == 3
+        # crop: every border row/column keeps some valid content
+        assert (mosaic.sum(axis=(1, 2)) > 0).all()
+        assert (mosaic.sum(axis=(0, 2)) > 0).all()
+        # the cap must bound the canvas
+        assert max(mosaic.shape[:2]) <= 500
+
     def test_two_image_minimum(self, tmp_path):
         """The smallest useful panorama: two overlapping views."""
         imgs, _, _ = synth.make_views(n_views=2, shape=(180, 240),

@@ -248,3 +248,18 @@ class TestTraverse:
         regions = R.traverse([np.zeros((8, 8, 3))] * 5, matches,
                              badjust="none")
         assert len(regions) == 4
+
+    def test_disconnected_cluster_dropped(self):
+        """Two-component match graph: the walk places only the seed's
+        component (reference semantics: traverse starts from the best
+        pair and unreached cameras drop, bundle_adj.py:348-395)."""
+        _, matches, _ = synthetic_problem(n_cams=6, noise=0.2, seed=9)
+        # cut the chain between 2 and 3 -> components {0,1,2} / {3,4,5}
+        del matches[2][3], matches[3][2]
+        # make the seed pair land in the first component
+        m01, h01, _ = matches[0][1]
+        matches[0][1] = (m01, h01, 999)
+        imgs = [np.full((8, 8, 3), i, np.uint8) for i in range(6)]
+        regions = R.traverse(imgs, matches, badjust="none")
+        assert len(regions) == 3
+        assert sorted(int(r.img[0, 0, 0]) for r in regions) == [0, 1, 2]
