@@ -565,17 +565,19 @@ def _refine_one(dog: jnp.ndarray, field: jnp.ndarray, l0, y0, x0,
 _PATCH_HALF = 32
 
 
-def _extract_patch(gauss: jnp.ndarray, l, y, x, ps: int):
-    """Aligned (ps, ps) patch of layer ``l`` centered near (y, x).
+def _extract_patch(gauss: jnp.ndarray, l, y, x, ps_y: int, ps_x: int):
+    """Aligned (ps_y, ps_x) patch of layer ``l`` centered near (y, x).
 
     Returns (patch, corner_y, corner_x); the corner is clipped so the patch
-    always lies inside the image.
+    always lies inside the image. The two sizes are clipped independently
+    per dimension (thin octaves must not truncate the window along their
+    LARGER dimension — cv2's descriptor window reaches every in-bounds
+    pixel, so the patch must too).
     """
     nl, h, w = gauss.shape
-    half = ps // 2
-    cy = jnp.clip(y - half, 0, max(h - ps, 0))
-    cx = jnp.clip(x - half, 0, max(w - ps, 0))
-    patch = lax.dynamic_slice(gauss, (l, cy, cx), (1, ps, ps))[0]
+    cy = jnp.clip(y - ps_y // 2, 0, max(h - ps_y, 0))
+    cx = jnp.clip(x - ps_x // 2, 0, max(w - ps_x, 0))
+    patch = lax.dynamic_slice(gauss, (l, cy, cx), (1, ps_y, ps_x))[0]
     return patch, cy, cx
 
 
@@ -942,23 +944,33 @@ def sift_extract(gray: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
         yf = y.astype(jnp.float32) + offs[..., 1]
 
         oh, ow = gauss.shape[2], gauss.shape[3]
-        ps = min(2 * cfg.patch_half + 2, oh, ow)
+        # per-dimension clipping: a thin octave (oh != ow with one dim
+        # below the window size) must keep full window reach along its
+        # larger dimension — the dense descriptor's in-bounds mask admits
+        # every cv2-visible pixel, so the patch has to contain them all
+        ps_y = min(2 * cfg.patch_half + 2, oh)
+        ps_x = min(2 * cfg.patch_half + 2, ow)
         patch_fn = jax.vmap(jax.vmap(
-            lambda g, a, b, c: _extract_patch(g, a, b, c, ps),
+            lambda g, a, b, c: _extract_patch(g, a, b, c, ps_y, ps_x),
             in_axes=(None, 0, 0, 0)), in_axes=(0, 0, 0, 0))
-        patches, pcy, pcx = patch_fn(gauss, l, y, x)   # (N, cap, ps, ps)
+        patches, pcy, pcx = patch_fn(gauss, l, y, x)  # (N, cap, ps_y, ps_x)
         gxp, gyp = _patch_grads(patches)
         # pad small-octave patches to the uniform size so the (heavy)
         # orientation/descriptor stage compiles ONCE for all octaves —
         # zero-padded gradients contribute zero magnitude, so no masking
         # beyond the existing absolute-coordinate checks is needed
         psg = 2 * cfg.patch_half
-        pad = psg - gxp.shape[-1]
-        if pad:
-            pw_ = [(0, 0), (0, 0), (0, pad), (0, pad)]
+        pad_y = psg - gxp.shape[-2]
+        pad_x = psg - gxp.shape[-1]
+        if pad_y or pad_x:
+            pw_ = [(0, 0), (0, 0), (0, pad_y), (0, pad_x)]
             gxp = jnp.pad(gxp, pw_)
             gyp = jnp.pad(gyp, pw_)
-        if cfg.patch_dtype != "float32":
+        if cfg.patch_dtype != "float32" and cfg.descr_mode != "dense":
+            # bf16 patches are a measured throughput opt-in for the grid
+            # sampler; the dense mode's contract is cv2-exact gradients,
+            # so it always keeps f32 (the cast would silently cost the
+            # 2e-5 agreement TestDenseDescriptor pins)
             gxp = gxp.astype(cfg.patch_dtype)
             gyp = gyp.astype(cfg.patch_dtype)
         if upto == "patch":

@@ -341,8 +341,41 @@ class TestDenseDescriptor:
         for yf, xf, sig, ang in cases:
             patch, cy, cx = S._extract_patch(
                 jnp.asarray(img)[None], jnp.int32(0),
-                jnp.int32(round(yf)), jnp.int32(round(xf)), ps)
+                jnp.int32(round(yf)), jnp.int32(round(xf)), ps, ps)
             gx, gy = S._patch_grads(patch)
+            got = np.asarray(S._descriptor_from_patch_dense(
+                gx, gy, jnp.float32(yf), jnp.float32(xf), cy, cx,
+                jnp.float32(sig), jnp.float32(ang),
+                img.shape[0], img.shape[1], cfg))
+            want = self._cv2_descriptor_loop(img, yf, xf, sig, ang)
+            npt.assert_allclose(got, want, atol=2e-5,
+                                err_msg=f"kp {(yf, xf, sig, ang)}")
+
+    def test_matches_cv2_loop_thin_image(self):
+        """Non-square source thinner than the window along ONE dim: the
+        patch must clip per-dimension (ps_y, ps_x), or in-bounds pixels
+        along the LARGER dim silently read zero-padded gradients where
+        cv2 contributes real ones."""
+        rng = np.random.default_rng(11)
+        img = rng.random((200, 64), np.float32)
+        img = np.asarray(cv2.GaussianBlur(img, (0, 0), 2.0))
+        cfg = dataclasses.replace(CFG, descr_mode="dense")
+        ps_y = min(2 * cfg.patch_half + 2, img.shape[0])
+        ps_x = min(2 * cfg.patch_half + 2, img.shape[1])
+        cases = [  # max-sigma windows reach +-38 px: past the 64-px width
+            (100.2, 32.4, 3.55, 0.7),
+            (60.7, 30.9, 3.2, -2.0),
+        ]
+        for yf, xf, sig, ang in cases:
+            patch, cy, cx = S._extract_patch(
+                jnp.asarray(img)[None], jnp.int32(0),
+                jnp.int32(round(yf)), jnp.int32(round(xf)), ps_y, ps_x)
+            gx, gy = S._patch_grads(patch)
+            psg = 2 * cfg.patch_half
+            gx = jnp.pad(gx, [(0, psg - gx.shape[0]),
+                              (0, psg - gx.shape[1])])
+            gy = jnp.pad(gy, [(0, psg - gy.shape[0]),
+                              (0, psg - gy.shape[1])])
             got = np.asarray(S._descriptor_from_patch_dense(
                 gx, gy, jnp.float32(yf), jnp.float32(xf), cy, cx,
                 jnp.float32(sig), jnp.float32(ang),
